@@ -1,0 +1,147 @@
+"""Multi-chip rendering via shard_map over a 2-D device mesh.
+
+The reference is strictly single-GPU (no NCCL/MPI anywhere — SURVEY.md §2).
+The TPU-native scaling story is data parallelism over the pixel grid plus
+sample parallelism over spp, laid out on a ``Mesh(('px', 'spp'))``:
+
+* pixels are sharded over the ``px`` axis (embarrassingly parallel, zero
+  collectives, rides nothing);
+* each ``spp`` shard renders an independent sample chunk for the *same*
+  pixels and the partial sums are combined with a single ``psum`` over the
+  ``spp`` axis — the only collective in the renderer, riding ICI;
+* scene tables and camera are fully replicated (the whole reference scene
+  fits in a 256 MB device heap, src/main.cu:1182).
+
+Keys are decorrelated per shard by folding both mesh coordinates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from art_tpu.core import rng as artrng
+from art_tpu.render.renderer import RenderConfig, _render_batch, apply_gamma, plan_batches
+
+
+def make_mesh(shape: tuple[int, int] | None = None, devices=None) -> Mesh:
+    """Build a ('px', 'spp') mesh; default = all devices on the px axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices), 1)
+    n = shape[0] * shape[1]
+    if n > len(devices):
+        raise ValueError(f"mesh {shape} needs {n} devices, have {len(devices)}")
+    dev_array = np.array(devices[:n]).reshape(shape)
+    return Mesh(dev_array, ("px", "spp"))
+
+
+def sharded_render_step(
+    mesh: Mesh,
+    tables,
+    cam,
+    pix: jnp.ndarray,  # (P,) int32, P divisible by mesh 'px' size
+    key: jax.Array,
+    background: jnp.ndarray,
+    *,
+    nx: int,
+    ny: int,
+    spp_chunk: int,
+    max_depth: int,
+    gradient_bg: bool,
+):
+    """One sharded render dispatch.
+
+    Returns (radiance_sum (P,3), rays ()) where radiance_sum accumulates
+    ``spp_chunk * mesh.shape['spp']`` samples per pixel.
+    """
+
+    def local(tables, cam, pix_l, key, bg):
+        ip = jax.lax.axis_index("px")
+        isp = jax.lax.axis_index("spp")
+        k = artrng.fold(key, ip, isp)
+        rad, rays = _render_batch(
+            tables, cam, pix_l, k, bg,
+            nx=nx, ny=ny, spp_chunk=spp_chunk,
+            max_depth=max_depth, gradient_bg=gradient_bg,
+        )
+        # The only collective: combine sample partial sums over the spp axis.
+        rad = jax.lax.psum(rad, "spp")
+        rays = jax.lax.psum(rays, ("px", "spp"))
+        return rad, rays
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P("px"), P(), P()),
+        out_specs=(P("px"), P()),
+        check_vma=False,
+    )
+    return fn(tables, cam, pix, key, background)
+
+
+def render_scene_sharded(scene, cfg: RenderConfig, mesh: Mesh | None = None):
+    """Multi-device render_scene; same output contract as the single-chip path."""
+    if mesh is None:
+        mesh = make_mesh()
+    n_px = mesh.shape["px"]
+    n_spp = mesh.shape["spp"]
+
+    tables = scene.tables
+    background = jnp.asarray(scene.background, jnp.float32)
+    n_pixels = cfg.nx * cfg.ny
+    n_prims_max = max(tables.n_spheres, tables.n_quads, tables.n_boxes, 1)
+    tile_pixels, spp_chunk = plan_batches(
+        -(-n_pixels // n_px), -(-cfg.spp // n_spp), n_prims_max, cfg
+    )
+    # Global tile is the per-device tile times the px axis.
+    tile_pixels *= n_px
+    n_tiles = -(-n_pixels // tile_pixels)
+    n_chunks = max(1, -(-cfg.spp // (spp_chunk * n_spp)))
+
+    step = jax.jit(
+        partial(
+            sharded_render_step,
+            mesh,
+            nx=cfg.nx,
+            ny=cfg.ny,
+            spp_chunk=spp_chunk,
+            max_depth=cfg.max_depth,
+            gradient_bg=scene.gradient_bg,
+        )
+    )
+
+    master = jax.random.PRNGKey(cfg.seed)
+    fb = np.zeros((n_pixels, 3), np.float32)
+    total_rays = 0.0
+    import time as _time
+
+    start = _time.perf_counter()
+    for tile in range(n_tiles):
+        lo = tile * tile_pixels
+        ids = np.arange(lo, lo + tile_pixels, dtype=np.int32)
+        ids = np.minimum(ids, n_pixels - 1)
+        acc = jnp.zeros((tile_pixels, 3), jnp.float32)
+        for chunk in range(n_chunks):
+            k = artrng.fold(master, tile, chunk)
+            rad, rays = step(tables, scene.camera, jnp.asarray(ids), k, background)
+            acc = acc + rad
+            total_rays += float(rays)
+        hi = min(lo + tile_pixels, n_pixels)
+        fb[lo:hi] += np.asarray(acc)[: hi - lo]
+    elapsed = _time.perf_counter() - start
+
+    actual_spp = n_chunks * spp_chunk * n_spp
+    fb = apply_gamma(fb / actual_spp, cfg.gamma).reshape(cfg.ny, cfg.nx, 3)
+    stats = {
+        "seconds": elapsed,
+        "rays": total_rays,
+        "mrays_per_sec": total_rays / elapsed / 1e6 if elapsed > 0 else 0.0,
+        "spp": actual_spp,
+        "mesh": dict(mesh.shape),
+    }
+    return fb, stats

@@ -1,0 +1,404 @@
+"""Scene compiler: DSL object graph -> flat SoA SceneTables.
+
+The TPU replacement for the reference's device-side world construction
+(``create_world_*<<<1,1>>>`` kernels building object graphs with device
+``new``, reference src/main.cu:160-635): the scene is built on host, all
+instancing transforms are baked (translate/rotate_y chains are affine), and
+geometry/materials/textures flatten into integer-tagged tables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from art_tpu.core.camera import Camera, make_camera
+from art_tpu.scene import materials as M
+from art_tpu.scene import objects as O
+from art_tpu.scene import textures as X
+from art_tpu.scene.tables import MatType, SceneTables, TexType, empty_tables
+from art_tpu.utils.images import ImageAtlas, asset_path, load_image_rgb
+
+
+def _rot_y(theta: float, p: np.ndarray) -> np.ndarray:
+    c, s = math.cos(theta), math.sin(theta)
+    return np.array(
+        [c * p[0] + s * p[2], p[1], -s * p[0] + c * p[2]], np.float64
+    )
+
+
+@dataclasses.dataclass
+class _Xform:
+    """Accumulated affine map: world = R_y(theta) * local + offset."""
+
+    theta: float = 0.0
+    offset: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3, np.float64)
+    )
+
+    def apply_point(self, p) -> np.ndarray:
+        return _rot_y(self.theta, np.asarray(p, np.float64)) + self.offset
+
+    def apply_vector(self, v) -> np.ndarray:
+        return _rot_y(self.theta, np.asarray(v, np.float64))
+
+
+@dataclasses.dataclass(frozen=True)
+class CompiledScene:
+    tables: SceneTables
+    camera: Camera
+    background: tuple
+    gradient_bg: bool
+    name: str = "scene"
+
+
+class SceneBuilder:
+    def __init__(self):
+        self._objects: list[O.SceneObject] = []
+        self._camera: Camera | None = None
+        self._background = (0.0, 0.0, 0.0)
+        self._gradient_bg = False
+        self._name = "scene"
+
+    # ---- construction API ----
+    def add(self, *objs: O.SceneObject) -> "SceneBuilder":
+        self._objects.extend(objs)
+        return self
+
+    def set_camera(self, **kwargs) -> "SceneBuilder":
+        self._camera = make_camera(**kwargs)
+        return self
+
+    def set_background(self, color=(0, 0, 0), gradient: bool = False) -> "SceneBuilder":
+        self._background = tuple(float(c) for c in color)
+        self._gradient_bg = bool(gradient)
+        return self
+
+    def set_name(self, name: str) -> "SceneBuilder":
+        self._name = name
+        return self
+
+    # ---- compilation ----
+    def compile(self) -> CompiledScene:
+        if self._camera is None:
+            raise ValueError("scene has no camera; call set_camera(...)")
+
+        comp = _Compiler()
+        for obj in self._objects:
+            comp.visit(obj, _Xform(), material_override=None)
+        tables = comp.finish()
+        return CompiledScene(
+            tables=tables,
+            camera=self._camera,
+            background=self._background,
+            gradient_bg=self._gradient_bg,
+            name=self._name,
+        )
+
+
+class _Compiler:
+    def __init__(self):
+        self.spheres: list[tuple] = []  # (c0, vel, radius, mat_id)
+        self.quads: list[tuple] = []  # (q, u, v, mat_id, inward)
+        self.boxes: list[tuple] = []  # (bmin, bmax, cos, sin, off, mat_id)
+        self.media: list[tuple] = []  # (kind, params..., neg_inv_density, mat_id)
+        self.mats: list[dict] = []
+        self.texs: list[dict] = []
+        self.images: list[np.ndarray] = []
+        self._mat_ids: dict[int, int] = {}
+        self._tex_ids: dict[int, int] = {}
+        self._img_ids: dict[int, int] = {}
+
+    # -- textures --
+    def tex_id(self, tex: X.Texture) -> int:
+        key = id(tex)
+        if key in self._tex_ids:
+            return self._tex_ids[key]
+        row = dict(
+            type=int(TexType.SOLID),
+            rgb=(0.0, 0.0, 0.0),
+            rgb2=(0.0, 0.0, 0.0),
+            params=[0.0] * 8,
+            child=(0, 0),
+            img=0,
+        )
+        # Reserve the slot first so self-referential graphs fail loudly rather
+        # than recursing forever.
+        idx = len(self.texs)
+        self.texs.append(row)
+        self._tex_ids[key] = idx
+
+        if isinstance(tex, X.SolidColor):
+            row["type"] = int(TexType.SOLID)
+            row["rgb"] = tuple(np.asarray(tex.albedo, np.float64))
+        elif isinstance(tex, X.Checker):
+            row["type"] = int(TexType.CHECKER)
+            row["params"][0] = 1.0 / tex.scale  # inv_scale (src/texture.cuh:33)
+            row["child"] = (self.tex_id(tex.even), self.tex_id(tex.odd))
+        elif isinstance(tex, X.ImageTexture):
+            row["type"] = int(TexType.IMAGE)
+            row["img"] = self.img_id(tex.image)
+        elif isinstance(tex, X.NoiseTexture):
+            row["type"] = int(TexType.NOISE)
+            row["params"][0] = float(tex.scale)
+        elif isinstance(tex, X.NoodleTexture):
+            row["type"] = int(TexType.NOODLE)
+            d = np.asarray(tex.direction, np.float64)
+            d = d / np.linalg.norm(d)
+            row["params"][:7] = [
+                float(tex.stripes_k),
+                float(tex.wiggle_amp),
+                float(tex.wiggle_freq),
+                float(tex.octaves),
+                *d.tolist(),
+            ]
+            row["rgb"] = tuple(np.asarray(tex.noodle, np.float64))
+            row["rgb2"] = tuple(np.asarray(tex.gap, np.float64))
+        elif isinstance(tex, X.FeltTexture):
+            row["type"] = int(TexType.FELT)
+            row["rgb"] = tuple(np.asarray(tex.base, np.float64))
+            row["params"][:4] = [
+                float(tex.mottling_scale),
+                float(tex.mottling_amt),
+                float(tex.fiber_scale),
+                float(tex.fiber_amt),
+            ]
+        elif isinstance(tex, X.UVOffset):
+            row["type"] = int(TexType.UV_OFFSET)
+            row["params"][0] = float(tex.u_offset_turns)
+            row["params"][1] = float(tex.v_offset)
+            row["child"] = (self.tex_id(tex.base), 0)
+        else:
+            raise TypeError(f"unknown texture type: {type(tex)!r}")
+        return idx
+
+    def img_id(self, image) -> int:
+        if isinstance(image, str):
+            name = image
+            if name in self._img_ids:
+                return self._img_ids[name]
+            idx = len(self.images)
+            self.images.append(load_image_rgb(asset_path(name)))
+            self._img_ids[name] = idx
+            return idx
+        key = id(image)
+        if key in self._img_ids:
+            return self._img_ids[key]
+        idx = len(self.images)
+        self.images.append(np.asarray(image, np.uint8))
+        self._img_ids[key] = idx
+        return idx
+
+    # -- materials --
+    def mat_id(self, mat: M.Material) -> int:
+        key = id(mat)
+        if key in self._mat_ids:
+            return self._mat_ids[key]
+        row = dict(type=0, tex=0, rgb=(0.0, 0.0, 0.0), fuzz=0.0, ref_idx=1.0)
+        if isinstance(mat, M.Lambertian):
+            row["type"] = int(MatType.LAMBERTIAN)
+            row["tex"] = self.tex_id(mat.texture)
+        elif isinstance(mat, M.Metal):
+            row["type"] = int(MatType.METAL)
+            row["rgb"] = tuple(np.asarray(mat.albedo, np.float64))
+            row["fuzz"] = min(float(mat.fuzz), 1.0)  # src/material.cuh:97
+        elif isinstance(mat, M.Dielectric):
+            row["type"] = int(MatType.DIELECTRIC)
+            row["ref_idx"] = float(mat.ref_idx)
+        elif isinstance(mat, M.DiffuseLight):
+            row["type"] = int(MatType.DIFFUSE_LIGHT)
+            row["tex"] = self.tex_id(mat.texture)
+        elif isinstance(mat, M.Isotropic):
+            row["type"] = int(MatType.ISOTROPIC)
+            row["tex"] = self.tex_id(mat.texture)
+        else:
+            raise TypeError(f"unknown material type: {type(mat)!r}")
+        idx = len(self.mats)
+        self.mats.append(row)
+        self._mat_ids[key] = idx
+        return idx
+
+    # -- objects --
+    def visit(self, obj: O.SceneObject, xf: _Xform, material_override):
+        if isinstance(obj, O.Translate):
+            off = xf.offset + xf.apply_vector(obj.offset)
+            self.visit(obj.obj, _Xform(xf.theta, off), material_override)
+        elif isinstance(obj, O.RotateY):
+            theta = xf.theta + math.radians(obj.degrees)
+            self.visit(obj.obj, _Xform(theta, xf.offset), material_override)
+        elif isinstance(obj, O.WithMaterial):
+            self.visit(obj.obj, xf, obj.material)
+        elif isinstance(obj, O.Sphere):
+            mat = material_override or obj.material
+            c0 = xf.apply_point(obj.center)
+            if obj.center2 is not None:
+                c1 = xf.apply_point(obj.center2)
+                vel = c1 - c0
+            else:
+                vel = np.zeros(3)
+            self.spheres.append((c0, vel, float(obj.radius), self.mat_id(mat)))
+        elif isinstance(obj, O.Quad):
+            mat = material_override or obj.material
+            q = xf.apply_point(obj.q)
+            u = xf.apply_vector(obj.u)
+            v = xf.apply_vector(obj.v)
+            self.quads.append((q, u, v, self.mat_id(mat), bool(obj.inward)))
+        elif isinstance(obj, O.Box):
+            mat = material_override or obj.material
+            a = np.asarray(obj.a, np.float64)
+            b = np.asarray(obj.b, np.float64)
+            bmin = np.minimum(a, b)
+            bmax = np.maximum(a, b)
+            self.boxes.append(
+                (bmin, bmax, math.cos(xf.theta), math.sin(xf.theta),
+                 xf.offset.copy(), self.mat_id(mat))
+            )
+        elif isinstance(obj, O.ConstantMedium):
+            self._visit_medium(obj, xf)
+        else:
+            raise TypeError(f"unknown scene object: {type(obj)!r}")
+
+    def _visit_medium(self, med: O.ConstantMedium, xf: _Xform):
+        # Resolve the boundary subtree to a single transformed Sphere or Box.
+        node = med.boundary
+        inner = _Xform(xf.theta, xf.offset.copy())
+        while isinstance(node, (O.Translate, O.RotateY, O.WithMaterial)):
+            if isinstance(node, O.Translate):
+                inner = _Xform(
+                    inner.theta, inner.offset + inner.apply_vector(node.offset)
+                )
+                node = node.obj
+            elif isinstance(node, O.RotateY):
+                inner = _Xform(inner.theta + math.radians(node.degrees), inner.offset)
+                node = node.obj
+            else:
+                node = node.obj  # material override is irrelevant to a boundary
+
+        phase_mat = M.Isotropic(med.texture)
+        mat_id = self.mat_id(phase_mat)
+        nid = -1.0 / med.density  # src/constant_medium.cuh:25
+
+        if isinstance(node, O.Sphere):
+            c = inner.apply_point(node.center)
+            self.media.append(
+                dict(kind=0, center=c, radius=abs(float(node.radius)),
+                     bmin=np.zeros(3), bmax=np.ones(3), cos=1.0, sin=0.0,
+                     off=np.zeros(3), nid=nid, mat=mat_id)
+            )
+        elif isinstance(node, O.Box):
+            a = np.asarray(node.a, np.float64)
+            b = np.asarray(node.b, np.float64)
+            self.media.append(
+                dict(kind=1, center=np.zeros(3), radius=1.0,
+                     bmin=np.minimum(a, b), bmax=np.maximum(a, b),
+                     cos=math.cos(inner.theta), sin=math.sin(inner.theta),
+                     off=inner.offset.copy(), nid=nid, mat=mat_id)
+            )
+        else:
+            raise TypeError(
+                "ConstantMedium boundary must reduce to a Sphere or Box, got "
+                f"{type(node)!r}"
+            )
+
+    # -- table assembly --
+    def finish(self) -> SceneTables:
+        t = empty_tables()
+        f32 = np.float32
+
+        if not self.mats:
+            # Scenes must have at least one material row for gathers.
+            self.mat_id(M.Lambertian((0.5, 0.5, 0.5)))
+
+        if self.spheres:
+            c0 = np.stack([s[0] for s in self.spheres]).astype(f32)
+            vel = np.stack([s[1] for s in self.spheres]).astype(f32)
+            t.update(
+                sph_center=jnp.asarray(c0),
+                sph_vel=jnp.asarray(vel),
+                sph_radius=jnp.asarray([s[2] for s in self.spheres], f32),
+                sph_mat=jnp.asarray([s[3] for s in self.spheres], np.int32),
+                n_spheres=len(self.spheres),
+                has_moving=bool(np.any(vel != 0.0)),
+            )
+
+        if self.quads:
+            qs = np.stack([q[0] for q in self.quads]).astype(np.float64)
+            us = np.stack([q[1] for q in self.quads]).astype(np.float64)
+            vs = np.stack([q[2] for q in self.quads]).astype(np.float64)
+            inward = np.asarray([q[4] for q in self.quads])
+            n = np.cross(us, vs)
+            nn = np.sum(n * n, axis=-1, keepdims=True)
+            normal = n / np.sqrt(nn)
+            normal = np.where(inward[:, None], -normal, normal)  # src/quad.cuh:35
+            d = np.sum(normal * qs, axis=-1)
+            w = n / nn  # src/quad.cuh:38
+            avec = np.cross(vs, w)  # alpha = dot(avec, p) - dot(avec, q)
+            bvec = np.cross(w, us)
+            t.update(
+                quad_q=jnp.asarray(qs, f32),
+                quad_u=jnp.asarray(us, f32),
+                quad_v=jnp.asarray(vs, f32),
+                quad_w=jnp.asarray(w, f32),
+                quad_n=jnp.asarray(normal, f32),
+                quad_d=jnp.asarray(d, f32),
+                quad_mat=jnp.asarray([q[3] for q in self.quads], np.int32),
+                quad_avec=jnp.asarray(avec, f32),
+                quad_bvec=jnp.asarray(bvec, f32),
+                quad_ca=jnp.asarray(np.sum(avec * qs, axis=-1), f32),
+                quad_cb=jnp.asarray(np.sum(bvec * qs, axis=-1), f32),
+                n_quads=len(self.quads),
+            )
+
+        if self.boxes:
+            sins = np.asarray([b[3] for b in self.boxes], f32)
+            t.update(
+                box_min=jnp.asarray(np.stack([b[0] for b in self.boxes]), f32),
+                box_max=jnp.asarray(np.stack([b[1] for b in self.boxes]), f32),
+                box_cos=jnp.asarray([b[2] for b in self.boxes], f32),
+                box_sin=jnp.asarray(sins),
+                box_off=jnp.asarray(np.stack([b[4] for b in self.boxes]), f32),
+                box_mat=jnp.asarray([b[5] for b in self.boxes], np.int32),
+                n_boxes=len(self.boxes),
+                has_rotated_boxes=bool(np.any(sins != 0.0)),
+            )
+
+        if self.media:
+            t.update(
+                med_kind=jnp.asarray([m["kind"] for m in self.media], np.int32),
+                med_center=jnp.asarray(np.stack([m["center"] for m in self.media]), f32),
+                med_radius=jnp.asarray([m["radius"] for m in self.media], f32),
+                med_min=jnp.asarray(np.stack([m["bmin"] for m in self.media]), f32),
+                med_max=jnp.asarray(np.stack([m["bmax"] for m in self.media]), f32),
+                med_cos=jnp.asarray([m["cos"] for m in self.media], f32),
+                med_sin=jnp.asarray([m["sin"] for m in self.media], f32),
+                med_off=jnp.asarray(np.stack([m["off"] for m in self.media]), f32),
+                med_neg_inv_density=jnp.asarray([m["nid"] for m in self.media], f32),
+                med_mat=jnp.asarray([m["mat"] for m in self.media], np.int32),
+                n_media=len(self.media),
+                med_kinds=tuple(int(m["kind"]) for m in self.media),
+            )
+
+        t.update(
+            mat_type=jnp.asarray([m["type"] for m in self.mats], np.int32),
+            mat_tex=jnp.asarray([m["tex"] for m in self.mats], np.int32),
+            mat_rgb=jnp.asarray([m["rgb"] for m in self.mats], f32),
+            mat_fuzz=jnp.asarray([m["fuzz"] for m in self.mats], f32),
+            mat_ref_idx=jnp.asarray([m["ref_idx"] for m in self.mats], f32),
+        )
+        if self.texs:
+            t.update(
+                tex_type=jnp.asarray([x["type"] for x in self.texs], np.int32),
+                tex_rgb=jnp.asarray([x["rgb"] for x in self.texs], f32),
+                tex_rgb2=jnp.asarray([x["rgb2"] for x in self.texs], f32),
+                tex_params=jnp.asarray([x["params"] for x in self.texs], f32),
+                tex_child=jnp.asarray([x["child"] for x in self.texs], np.int32),
+                tex_img=jnp.asarray([x["img"] for x in self.texs], np.int32),
+                tex_types_present=tuple(sorted({x["type"] for x in self.texs})),
+            )
+        if self.images:
+            t.update(atlas=ImageAtlas.pack(self.images))
+
+        return SceneTables(**t)

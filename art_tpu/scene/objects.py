@@ -1,0 +1,96 @@
+"""Host-side geometry DSL.
+
+Mirrors the reference hittables (sphere src/sphere.cuh, quad/make_box
+src/quad.cuh, constant_medium src/constant_medium.cuh) plus the instancing
+wrappers translate/rotate_y/with_material (src/hittable.cuh:40-178).
+Transforms are *baked at compile time*: a y-rotation + translation chain is
+an affine map, applied directly to sphere centers and quad frames and kept
+as (cos, sin, offset) parameters for oriented boxes — no per-ray transform
+work remains in the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from art_tpu.scene.materials import Material
+from art_tpu.scene.textures import Texture, as_texture
+
+
+class SceneObject:
+    pass
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Sphere(SceneObject):
+    """Static or moving sphere; radius may be negative for hollow shells
+    (reference src/sphere.cuh:21-38, src/main.cu:439)."""
+
+    center: tuple
+    radius: float
+    material: Material
+    center2: tuple | None = None  # moving sphere target at t=1
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Quad(SceneObject):
+    """Parallelogram Q + edges u,v (src/quad.cuh:29-41); ``inward`` flips
+    the geometric normal."""
+
+    q: tuple
+    u: tuple
+    v: tuple
+    material: Material
+    inward: bool = False
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Box(SceneObject):
+    """Axis-aligned box between corners a, b (reference make_box,
+    src/quad.cuh:145-162).  Compiles to one oriented-box row, not 6 quads."""
+
+    a: tuple
+    b: tuple
+    material: Material
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ConstantMedium(SceneObject):
+    """Homogeneous medium inside a convex boundary (src/constant_medium.cuh).
+
+    ``boundary`` must be a Sphere or Box (possibly transformed) — the only
+    boundary shapes the reference scenes use; anything else fails at build.
+    """
+
+    boundary: SceneObject
+    density: float
+    texture: Texture
+
+    def __init__(self, boundary, density, tex_or_color):
+        object.__setattr__(self, "boundary", boundary)
+        object.__setattr__(self, "density", float(density))
+        object.__setattr__(self, "texture", as_texture(tex_or_color))
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Translate(SceneObject):
+    """src/hittable.cuh:40-69"""
+
+    obj: SceneObject
+    offset: tuple
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class RotateY(SceneObject):
+    """src/hittable.cuh:77-149 (degrees)"""
+
+    obj: SceneObject
+    degrees: float
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class WithMaterial(SceneObject):
+    """Per-instance material override (src/hittable.cuh:154-178)."""
+
+    obj: SceneObject
+    material: Material

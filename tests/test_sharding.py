@@ -1,0 +1,54 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from art_tpu.models import build_scene
+from art_tpu.parallel import make_mesh, render_scene_sharded
+from art_tpu.render.renderer import RenderConfig, render_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return build_scene("three_spheres", 32, 16)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_shapes():
+    m = make_mesh()
+    assert m.shape["px"] == 8 and m.shape["spp"] == 1
+    m2 = make_mesh((4, 2))
+    assert m2.shape["px"] == 4 and m2.shape["spp"] == 2
+    with pytest.raises(ValueError):
+        make_mesh((16, 2))
+
+
+def test_sharded_render_matches_stats(scene):
+    cfg = RenderConfig(nx=32, ny=16, spp=8, max_depth=10)
+    fb, stats = render_scene_sharded(scene, cfg, make_mesh((8, 1)))
+    assert fb.shape == (16, 32, 3)
+    assert np.isfinite(fb).all()
+    assert stats["mesh"] == {"px": 8, "spp": 1}
+    # compare against single-device render statistically (different RNG
+    # partitioning -> Monte-Carlo noise only)
+    fb1, _ = render_scene(scene, cfg)
+    assert abs(fb.mean() - fb1.mean()) < 0.05
+    np.testing.assert_allclose(
+        fb.mean(axis=(0, 1)), fb1.mean(axis=(0, 1)), atol=0.05
+    )
+
+
+def test_spp_axis_psum(scene):
+    """Sample sharding with psum over the spp axis must also converge."""
+    cfg = RenderConfig(nx=32, ny=16, spp=8, max_depth=10)
+    fb, stats = render_scene_sharded(scene, cfg, make_mesh((2, 4)))
+    assert stats["mesh"] == {"px": 2, "spp": 4}
+    assert stats["spp"] >= 8
+    fb1, _ = render_scene(scene, cfg)
+    np.testing.assert_allclose(
+        fb.mean(axis=(0, 1)), fb1.mean(axis=(0, 1)), atol=0.05
+    )
