@@ -36,8 +36,17 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--sharded", action="store_true", help="render across all visible devices"
     )
+    parser.add_argument(
+        "--platform", default=None, choices=("cpu", "tpu"),
+        help="force a JAX backend (default: auto)",
+    )
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from art_tpu.models import SCENES, build_scene, scene_defaults
     from art_tpu.render.renderer import RenderConfig, render_scene

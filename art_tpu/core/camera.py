@@ -85,21 +85,22 @@ def make_camera(
     )
 
 
-def generate_rays(cam: Camera, s: jnp.ndarray, t: jnp.ndarray, key: jax.Array):
-    """Batched get_ray (reference src/camera.cuh:35-47).
+def rays_from_uniforms(
+    cam: Camera,
+    s: jnp.ndarray,
+    t: jnp.ndarray,
+    u_lens: jnp.ndarray,  # (R,2)
+    u_time: jnp.ndarray,  # (R,)
+):
+    """Batched get_ray (reference src/camera.cuh:35-47) from raw uniforms.
 
     ``s``/``t`` are (R,) viewport coordinates in [0,1] (already jittered).
     Returns (origins, directions, times), each SoA over R.  Directions are
     *not* normalized, matching the reference.
     """
-    n = s.shape[0]
-    rd = cam.lens_radius * artrng.random_in_unit_disk(
-        artrng.fold(key, artrng.SITE_LENS), n
-    )
+    rd = cam.lens_radius * artrng.disk_from_uniforms(u_lens)
     offset = rd[:, 0:1] * cam.u[None, :] + rd[:, 1:2] * cam.v[None, :]
-
-    xi = artrng.uniform(artrng.fold(key, artrng.SITE_TIME), (n,))
-    times = cam.time0 + xi * (cam.time1 - cam.time0)
+    times = cam.time0 + u_time * (cam.time1 - cam.time0)
 
     origins = cam.origin[None, :] + offset
     directions = (
@@ -110,3 +111,11 @@ def generate_rays(cam: Camera, s: jnp.ndarray, t: jnp.ndarray, key: jax.Array):
         - offset
     )
     return origins, directions, times
+
+
+def generate_rays(cam: Camera, s: jnp.ndarray, t: jnp.ndarray, key: jax.Array):
+    """Key-based convenience wrapper over rays_from_uniforms."""
+    n = s.shape[0]
+    u_lens = artrng.uniform(artrng.fold(key, artrng.SITE_LENS), (n, 2))
+    u_time = artrng.uniform(artrng.fold(key, artrng.SITE_TIME), (n,))
+    return rays_from_uniforms(cam, s, t, u_lens, u_time)

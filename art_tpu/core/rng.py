@@ -51,23 +51,36 @@ def random_in_unit_disk(key: jax.Array, n: int) -> jnp.ndarray:
     Equal in distribution to the reference rejection sampler
     (src/camera.cuh:8-16) but branch-free.
     """
-    u = uniform(key, (n, 2))
-    r = jnp.sqrt(u[:, 0])
-    phi = (2.0 * jnp.pi) * u[:, 1]
-    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
+    return disk_from_uniforms(uniform(key, (n, 2)))
 
 
 def random_in_unit_ball(key: jax.Array, n: int) -> jnp.ndarray:
     """(n, 3) points uniform inside the unit ball.
 
     Equal in distribution to the reference's ``random_in_unit_sphere``
-    rejection loop (src/material.cuh:12-18): gaussian direction scaled by
-    U^(1/3) radius.
+    rejection loop (src/material.cuh:12-18).
     """
-    kg, kr = jax.random.split(key)
-    g = jax.random.normal(kg, (n, 3), dtype=jnp.float32)
-    # Guard the pathological all-zero gaussian draw.
-    norm = jnp.sqrt(jnp.maximum(jnp.sum(g * g, axis=-1), 1e-30))
-    d = g / norm[:, None]
-    r = jnp.cbrt(uniform(kr, (n,)))
-    return d * r[:, None]
+    return ball_from_uniforms(uniform(key, (n, 3)))
+
+
+def ball_from_uniforms(u: jnp.ndarray) -> jnp.ndarray:
+    """Map (n, 3) U[0,1) to points uniform in the unit ball, analytically.
+
+    z = 2u1-1 (uniform cos-theta), phi = 2*pi*u2 give a uniform direction on
+    the sphere; r = u3^(1/3) gives the radial CDF of the ball.  Branch-free
+    equal-distribution replacement for the reference rejection loop.
+    """
+    z = 2.0 * u[:, 0] - 1.0
+    phi = (2.0 * jnp.pi) * u[:, 1]
+    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = jnp.cbrt(u[:, 2])
+    return jnp.stack(
+        [r * s * jnp.cos(phi), r * s * jnp.sin(phi), r * z], axis=-1
+    )
+
+
+def disk_from_uniforms(u: jnp.ndarray) -> jnp.ndarray:
+    """Map (n, 2) U[0,1) to points uniform in the unit disk."""
+    r = jnp.sqrt(u[:, 0])
+    phi = (2.0 * jnp.pi) * u[:, 1]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)

@@ -10,12 +10,14 @@ under jit.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Large finite stand-in for FLT_MAX in interval math (reference uses FLT_MAX,
 # src/main.cu:57).  Using 3.4e38 exactly risks inf on arithmetic; 1e30 is far
-# beyond any scene extent (max ~5000).
-BIG = jnp.float32(1e30)
-T_MIN = jnp.float32(1e-3)  # reference t_min = 0.001 (src/main.cu:57)
+# beyond any scene extent (max ~5000).  Host scalars (not jnp) so importing
+# the module never initializes a backend.
+BIG = np.float32(1e30)
+T_MIN = np.float32(1e-3)  # reference t_min = 0.001 (src/main.cu:57)
 
 
 def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -21,7 +21,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from art_tpu.core import rng as artrng
 from art_tpu.core.vecmath import (
     BIG,
     cross,
@@ -115,8 +114,12 @@ def sphere_candidates(tables: SceneTables, o, d, time, t_min):
     return t_best, idx
 
 
-def sphere_attributes(tables: SceneTables, o, d, time, t, idx):
-    """Reconstruct normal/uv for the winning sphere (src/sphere.cuh:69-86)."""
+def sphere_attributes(tables: SceneTables, o, d, time, t, idx, needs_uv: bool = True):
+    """Reconstruct normal/uv for the winning sphere (src/sphere.cuh:69-86).
+
+    ``needs_uv`` is static; scenes with no UV-dependent textures skip the
+    arccos/atan2 transcendentals entirely.
+    """
     c0 = tables.sph_center[idx]
     r = tables.sph_radius[idx]
     if tables.has_moving:
@@ -125,11 +128,14 @@ def sphere_attributes(tables: SceneTables, o, d, time, t, idx):
         c = c0
     p = ray_at(o, d, t)
     normal = (p - c) / r[:, None]  # signed radius flips hollow-shell normals
-    # spherical uv from the (signed) normal (src/sphere.cuh:42-49)
-    theta = jnp.arccos(jnp.clip(-normal[:, 1], -1.0, 1.0))
-    phi = jnp.arctan2(-normal[:, 2], normal[:, 0]) + jnp.pi
-    u = phi / (2.0 * jnp.pi)
-    v = theta / jnp.pi
+    if needs_uv:
+        # spherical uv from the (signed) normal (src/sphere.cuh:42-49)
+        theta = jnp.arccos(jnp.clip(-normal[:, 1], -1.0, 1.0))
+        phi = jnp.arctan2(-normal[:, 2], normal[:, 0]) + jnp.pi
+        u = phi / (2.0 * jnp.pi)
+        v = theta / jnp.pi
+    else:
+        u = v = jnp.zeros_like(t)
     return p, normal, u, v, tables.sph_mat[idx]
 
 
@@ -310,24 +316,66 @@ def box_attributes(tables: SceneTables, o, d, t, idx):
 # Closest surface hit across all segments
 # --------------------------------------------------------------------------
 
+def _use_pallas(R: int) -> bool:
+    """Use the fused Pallas intersection kernels on TPU backends.
+
+    The jnp path stays as the portable reference implementation (CPU tests);
+    it is also the fallback when the ray count doesn't tile the kernel grid.
+    """
+    import os
+
+    if os.environ.get("ART_TPU_NO_PALLAS"):
+        return False
+    from art_tpu.ops.pallas_kernels import RAY_BLOCK
+
+    return jax.default_backend() == "tpu" and R % RAY_BLOCK == 0
+
+
 def closest_surface(tables: SceneTables, o, d, time, t_min) -> HitRecord:
     R = o.shape[0]
+    # UV coordinates only feed image/uv_offset textures; skip the
+    # transcendentals when the scene has none (static specialization).
+    needs_uv = bool({2, 6} & set(tables.tex_types_present))
     t_best = jnp.full((R,), BIG, jnp.float32)
     winner = jnp.full((R,), -1, jnp.int32)  # 0=sphere 1=quad 2=box
     idx_s = idx_q = idx_b = jnp.zeros((R,), jnp.int32)
 
+    use_pallas = _use_pallas(R)
+    if use_pallas:
+        from art_tpu.ops import pallas_kernels as pk
+
     if tables.n_spheres:
-        t_s, idx_s = sphere_candidates(tables, o, d, time, t_min)
+        if use_pallas:
+            t_s, idx_s = pk.sphere_closest_hit_pallas(
+                tables.sph_packed, o, d, time,
+                n_spheres=tables.n_spheres, moving=tables.has_moving,
+            )
+            idx_s = jnp.maximum(idx_s, 0)
+        else:
+            t_s, idx_s = sphere_candidates(tables, o, d, time, t_min)
         better = t_s < t_best
         t_best = jnp.where(better, t_s, t_best)
         winner = jnp.where(better, 0, winner)
     if tables.n_quads:
-        t_q, idx_q = quad_candidates(tables, o, d, t_min)
+        if use_pallas:
+            t_q, idx_q = pk.quad_closest_hit_pallas(
+                tables.quad_packed, o, d, n_quads=tables.n_quads
+            )
+            idx_q = jnp.maximum(idx_q, 0)
+        else:
+            t_q, idx_q = quad_candidates(tables, o, d, t_min)
         better = t_q < t_best
         t_best = jnp.where(better, t_q, t_best)
         winner = jnp.where(better, 1, winner)
     if tables.n_boxes:
-        t_b, idx_b = box_candidates(tables, o, d, t_min)
+        if use_pallas:
+            t_b, idx_b = pk.box_closest_hit_pallas(
+                tables.box_packed, o, d,
+                n_boxes=tables.n_boxes, rotated=tables.has_rotated_boxes,
+            )
+            idx_b = jnp.maximum(idx_b, 0)
+        else:
+            t_b, idx_b = box_candidates(tables, o, d, t_min)
         better = t_b < t_best
         t_best = jnp.where(better, t_b, t_best)
         winner = jnp.where(better, 2, winner)
@@ -350,7 +398,10 @@ def closest_surface(tables: SceneTables, o, d, time, t_min) -> HitRecord:
         mat = jnp.where(sel, m_i, mat)
 
     if tables.n_spheres:
-        blend(winner == 0, sphere_attributes(tables, o, d, time, t_best, idx_s))
+        blend(
+            winner == 0,
+            sphere_attributes(tables, o, d, time, t_best, idx_s, needs_uv),
+        )
     if tables.n_quads:
         blend(winner == 1, quad_attributes(tables, o, d, t_best, idx_q))
     if tables.n_boxes:
@@ -363,13 +414,18 @@ def closest_surface(tables: SceneTables, o, d, time, t_min) -> HitRecord:
 # Constant media (exponential free-flight in convex boundaries)
 # --------------------------------------------------------------------------
 
-def apply_media(tables: SceneTables, o, d, t_min, surf: HitRecord, key) -> HitRecord:
+def apply_media(
+    tables: SceneTables, o, d, t_min, surf: HitRecord, u_media: jnp.ndarray
+) -> HitRecord:
     """Overlay medium scatter events on the surface hit record.
 
     Statistically equivalent to the reference's in-traversal medium sampling
     (src/constant_medium.cuh:36-64): for each medium, the boundary interval
     over (-inf, inf) is clipped to [t_min, t_surface], an exponential
     free-flight distance is drawn, and the closest accepted scatter wins.
+
+    ``u_media`` is a (R, >=n_media) block of U[0,1) samples, one column per
+    medium.
     """
     if not tables.n_media:
         return surf
@@ -417,8 +473,7 @@ def apply_media(tables: SceneTables, o, d, t_min, surf: HitRecord, key) -> HitRe
         ok = bnd_ok & (rec1 < rec2) & len_ok
         distance_inside = (rec2 - rec1) * ray_len
 
-        u01 = artrng.uniform(artrng.fold(key, artrng.SITE_MEDIUM, m), (R,))
-        u01 = jnp.maximum(1e-6, u01)
+        u01 = jnp.maximum(1e-6, u_media[:, m])
         hit_distance = tables.med_neg_inv_density[m] * jnp.log(u01)
         scatter = ok & (hit_distance <= distance_inside)
         t_m = rec1 + hit_distance / ray_len

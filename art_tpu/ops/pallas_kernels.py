@@ -1,0 +1,344 @@
+"""Pallas TPU kernels for the intersection hot path.
+
+The XLA brute-force intersection (ops/intersect.py) materializes (R, N)
+candidate arrays in HBM — bandwidth-bound.  These kernels keep the whole
+scene table and all per-sphere candidates in VMEM, streaming only the ray
+SoA in and the per-ray winner (t, index) out: traffic drops from
+O(R*N) to O(R), leaving the VPU as the limit.
+
+Ray components are laid out component-planar as (R/128, 128) f32 so every
+vector op runs on full 8x128 VPU tiles; the kernel grid tiles the ray axis.
+The sphere loop is a `fori_loop` over the VMEM-resident table (hundreds of
+bytes per sphere — the largest reference scene table is ~32 KB).
+
+Used automatically on TPU backends; the jnp path remains the portable
+reference implementation (CPU tests, interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from art_tpu.core.vecmath import BIG
+
+_LANES = 128
+_SUBLANES = 64  # ray-block rows: 64x128 = 8192 rays per program
+RAY_BLOCK = _SUBLANES * _LANES
+
+
+def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   tm_ref, t_ref, idx_ref, *, n_spheres: int, t_min: float,
+                   moving: bool):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tm = tm_ref[:]
+
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+
+    init_t = jnp.full(ox.shape, BIG, jnp.float32)
+    init_i = jnp.full(ox.shape, -1, jnp.int32)
+
+    def body(s, carry):
+        best_t, best_i = carry
+        cx = sph_ref[s, 0]
+        cy = sph_ref[s, 1]
+        cz = sph_ref[s, 2]
+        r = sph_ref[s, 6]
+        if moving:
+            cx = cx + tm * sph_ref[s, 3]
+            cy = cy + tm * sph_ref[s, 4]
+            cz = cz + tm * sph_ref[s, 5]
+        ocx = ox - cx
+        ocy = oy - cy
+        ocz = oz - cz
+        b = ocx * dx + ocy * dy + ocz * dz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b - sq) * inv_a
+        t2 = (-b + sq) * inv_a
+        valid = disc > 0.0
+        t = jnp.where(
+            valid & (t1 > t_min),
+            t1,
+            jnp.where(valid & (t2 > t_min), t2, BIG),
+        )
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        best_i = jnp.where(better, s, best_i)
+        return best_t, best_i
+
+    best_t, best_i = jax.lax.fori_loop(0, n_spheres, body, (init_t, init_i))
+    t_ref[:] = best_t
+    idx_ref[:] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("n_spheres", "moving"))
+def sphere_closest_hit_pallas(
+    sph_packed: jnp.ndarray,  # (S, 8) [cx cy cz vx vy vz radius pad]
+    o: jnp.ndarray,  # (R, 3)
+    d: jnp.ndarray,  # (R, 3)
+    tm: jnp.ndarray,  # (R,)
+    *,
+    n_spheres: int,
+    moving: bool,
+):
+    """Per-ray closest sphere hit: returns (t (R,), idx (R,)).
+
+    R must be a multiple of RAY_BLOCK (8192).
+    """
+    R = o.shape[0]
+    assert R % RAY_BLOCK == 0, R
+    rows = R // _LANES
+    grid = rows // _SUBLANES
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    comps = (
+        plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+        plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
+        plane(tm),
+    )
+
+    ray_spec = pl.BlockSpec(
+        (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    t_out, idx_out = pl.pallas_call(
+        functools.partial(
+            _sphere_kernel,
+            n_spheres=n_spheres,
+            t_min=1e-3,
+            moving=moving,
+        ),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+        ),
+    )(sph_packed, *comps)
+    return t_out.reshape(R), idx_out.reshape(R)
+
+
+def pack_spheres(tables) -> jnp.ndarray:
+    """(S, 8) packed sphere table for the kernel."""
+    S = tables.sph_center.shape[0]
+    out = jnp.zeros((S, 8), jnp.float32)
+    out = out.at[:, 0:3].set(tables.sph_center)
+    out = out.at[:, 3:6].set(tables.sph_vel)
+    out = out.at[:, 6].set(tables.sph_radius)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Quads
+# ---------------------------------------------------------------------------
+
+
+def _quad_kernel(qd_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                 t_ref, idx_ref, *, n_quads: int, t_min: float):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    init_t = jnp.full(ox.shape, BIG, jnp.float32)
+    init_i = jnp.full(ox.shape, -1, jnp.int32)
+
+    def body(q, carry):
+        best_t, best_i = carry
+        nx_, ny_, nz_ = qd_ref[q, 0], qd_ref[q, 1], qd_ref[q, 2]
+        D = qd_ref[q, 3]
+        ax, ay, az, ca = qd_ref[q, 4], qd_ref[q, 5], qd_ref[q, 6], qd_ref[q, 7]
+        bx, by, bz, cb = qd_ref[q, 8], qd_ref[q, 9], qd_ref[q, 10], qd_ref[q, 11]
+
+        nd = nx_ * dx + ny_ * dy + nz_ * dz
+        no = nx_ * ox + ny_ * oy + nz_ * oz
+        t = (D - no) / nd
+        alpha = (ax * ox + ay * oy + az * oz) + t * (ax * dx + ay * dy + az * dz) - ca
+        beta = (bx * ox + by * oy + bz * oz) + t * (bx * dx + by * dy + bz * dz) - cb
+        valid = (
+            (jnp.abs(nd) >= 1e-8)
+            & (t > t_min)
+            & (alpha >= 0.0) & (alpha <= 1.0)
+            & (beta >= 0.0) & (beta <= 1.0)
+        )
+        t = jnp.where(valid, t, BIG)
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        best_i = jnp.where(better, q, best_i)
+        return best_t, best_i
+
+    best_t, best_i = jax.lax.fori_loop(0, n_quads, body, (init_t, init_i))
+    t_ref[:] = best_t
+    idx_ref[:] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("n_quads",))
+def quad_closest_hit_pallas(
+    qd_packed: jnp.ndarray,  # (Q, 12) [n(3), D, avec(3), ca, bvec(3), cb]
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    *,
+    n_quads: int,
+):
+    R = o.shape[0]
+    assert R % RAY_BLOCK == 0, R
+    rows = R // _LANES
+    grid = rows // _SUBLANES
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    comps = (
+        plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+        plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
+    )
+    ray_spec = pl.BlockSpec(
+        (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    t_out, idx_out = pl.pallas_call(
+        functools.partial(_quad_kernel, n_quads=n_quads, t_min=1e-3),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 6,
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+        ),
+    )(qd_packed, *comps)
+    return t_out.reshape(R), idx_out.reshape(R)
+
+
+def pack_quads(tables) -> jnp.ndarray:
+    Q = tables.quad_n.shape[0]
+    out = jnp.zeros((Q, 12), jnp.float32)
+    out = out.at[:, 0:3].set(tables.quad_n)
+    out = out.at[:, 3].set(tables.quad_d)
+    out = out.at[:, 4:7].set(tables.quad_avec)
+    out = out.at[:, 7].set(tables.quad_ca)
+    out = out.at[:, 8:11].set(tables.quad_bvec)
+    out = out.at[:, 11].set(tables.quad_cb)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Oriented boxes
+# ---------------------------------------------------------------------------
+
+
+def _box_kernel(bx_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                t_ref, idx_ref, *, n_boxes: int, t_min: float, rotated: bool):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    init_t = jnp.full(ox.shape, BIG, jnp.float32)
+    init_i = jnp.full(ox.shape, -1, jnp.int32)
+
+    def safe(x):
+        mag = jnp.abs(x)
+        sign = jnp.where(x >= 0.0, 1.0, -1.0)
+        return jnp.where(mag < 1e-12, sign * 1e-12, x)
+
+    def body(b, carry):
+        best_t, best_i = carry
+        mnx, mny, mnz = bx_ref[b, 0], bx_ref[b, 1], bx_ref[b, 2]
+        mxx, mxy, mxz = bx_ref[b, 3], bx_ref[b, 4], bx_ref[b, 5]
+        offx, offy, offz = bx_ref[b, 8], bx_ref[b, 9], bx_ref[b, 10]
+
+        lox = ox - offx
+        loy = oy - offy
+        loz = oz - offz
+        ldx, ldy, ldz = dx, dy, dz
+        if rotated:
+            ct, st = bx_ref[b, 6], bx_ref[b, 7]
+            lox, loz = ct * lox - st * loz, st * lox + ct * loz
+            ldx, ldz = ct * ldx - st * ldz, st * ldx + ct * ldz
+
+        ix = 1.0 / safe(ldx)
+        iy = 1.0 / safe(ldy)
+        iz = 1.0 / safe(ldz)
+        tax = (mnx - lox) * ix
+        tbx = (mxx - lox) * ix
+        tay = (mny - loy) * iy
+        tby = (mxy - loy) * iy
+        taz = (mnz - loz) * iz
+        tbz = (mxz - loz) * iz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(tax, tbx), jnp.minimum(tay, tby)),
+            jnp.minimum(taz, tbz),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(tax, tbx), jnp.maximum(tay, tby)),
+            jnp.maximum(taz, tbz),
+        )
+        through = t0 < t1
+        t = jnp.where(
+            through & (t0 > t_min),
+            t0,
+            jnp.where(through & (t1 > t_min), t1, BIG),
+        )
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        best_i = jnp.where(better, b, best_i)
+        return best_t, best_i
+
+    best_t, best_i = jax.lax.fori_loop(0, n_boxes, body, (init_t, init_i))
+    t_ref[:] = best_t
+    idx_ref[:] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("n_boxes", "rotated"))
+def box_closest_hit_pallas(
+    bx_packed: jnp.ndarray,  # (B, 12) [min(3), max(3), cos, sin, off(3), pad]
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    *,
+    n_boxes: int,
+    rotated: bool,
+):
+    R = o.shape[0]
+    assert R % RAY_BLOCK == 0, R
+    rows = R // _LANES
+    grid = rows // _SUBLANES
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    comps = (
+        plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+        plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
+    )
+    ray_spec = pl.BlockSpec(
+        (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    t_out, idx_out = pl.pallas_call(
+        functools.partial(
+            _box_kernel, n_boxes=n_boxes, t_min=1e-3, rotated=rotated
+        ),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 6,
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+        ),
+    )(bx_packed, *comps)
+    return t_out.reshape(R), idx_out.reshape(R)
+
+
+def pack_boxes(tables) -> jnp.ndarray:
+    B = tables.box_min.shape[0]
+    out = jnp.zeros((B, 12), jnp.float32)
+    out = out.at[:, 0:3].set(tables.box_min)
+    out = out.at[:, 3:6].set(tables.box_max)
+    out = out.at[:, 6].set(tables.box_cos)
+    out = out.at[:, 7].set(tables.box_sin)
+    out = out.at[:, 8:11].set(tables.box_off)
+    return out

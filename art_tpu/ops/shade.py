@@ -34,9 +34,9 @@ def shade(
     tables: SceneTables,
     d: jnp.ndarray,  # (R,3) incoming ray direction
     rec: HitRecord,
-    key: jax.Array,
+    u_ball: jnp.ndarray,  # (R,3) uniforms for the ball sample
+    u_choice: jnp.ndarray,  # (R,) uniform for the reflect/refract choice
 ) -> ScatterResult:
-    R = d.shape[0]
     mtype = tables.mat_type[rec.mat]
     tex_id = tables.mat_tex[rec.mat]
     n = rec.normal
@@ -55,8 +55,8 @@ def shade(
     emitted = jnp.where(is_light[:, None], tex_val, 0.0)
 
     # ---- shared samples ----
-    ball = artrng.random_in_unit_ball(artrng.fold(key, artrng.SITE_SCATTER), R)
-    choice = artrng.uniform(artrng.fold(key, artrng.SITE_CHOICE), (R,))
+    ball = artrng.ball_from_uniforms(u_ball)
+    choice = u_choice
 
     # ---- lambertian (src/material.cuh:75-87): dir = n + ball ----
     lambert_dir = n + ball

@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from art_tpu.core import rng as artrng
+from art_tpu.render.integrator import render_wavefront
 from art_tpu.render.renderer import RenderConfig, _render_batch, apply_gamma, plan_batches
 
 
@@ -53,6 +54,7 @@ def sharded_render_step(
     spp_chunk: int,
     max_depth: int,
     gradient_bg: bool,
+    n_slots: int = 8192,
 ):
     """One sharded render dispatch.
 
@@ -64,10 +66,13 @@ def sharded_render_step(
         ip = jax.lax.axis_index("px")
         isp = jax.lax.axis_index("spp")
         k = artrng.fold(key, ip, isp)
-        rad, rays = _render_batch(
-            tables, cam, pix_l, k, bg,
-            nx=nx, ny=ny, spp_chunk=spp_chunk,
-            max_depth=max_depth, gradient_bg=gradient_bg,
+        # pix_l is a contiguous block of pixel ids; the wavefront only needs
+        # its start offset.
+        rad, rays, _iters = render_wavefront(
+            tables, cam, pix_l[0], spp_chunk, k, bg,
+            tile_pixels=pix_l.shape[0], total_pixels=nx * ny,
+            nx=nx, ny=ny, max_depth=max_depth,
+            gradient_bg=gradient_bg, n_slots=n_slots,
         )
         # The only collective: combine sample partial sums over the spp axis.
         rad = jax.lax.psum(rad, "spp")
@@ -95,7 +100,7 @@ def render_scene_sharded(scene, cfg: RenderConfig, mesh: Mesh | None = None):
     background = jnp.asarray(scene.background, jnp.float32)
     n_pixels = cfg.nx * cfg.ny
     n_prims_max = max(tables.n_spheres, tables.n_quads, tables.n_boxes, 1)
-    tile_pixels, spp_chunk = plan_batches(
+    tile_pixels, spp_chunk, n_slots = plan_batches(
         -(-n_pixels // n_px), -(-cfg.spp // n_spp), n_prims_max, cfg
     )
     # Global tile is the per-device tile times the px axis.
@@ -112,6 +117,7 @@ def render_scene_sharded(scene, cfg: RenderConfig, mesh: Mesh | None = None):
             spp_chunk=spp_chunk,
             max_depth=cfg.max_depth,
             gradient_bg=scene.gradient_bg,
+            n_slots=n_slots,
         )
     )
 
@@ -120,11 +126,19 @@ def render_scene_sharded(scene, cfg: RenderConfig, mesh: Mesh | None = None):
     total_rays = 0.0
     import time as _time
 
+    from art_tpu.render.renderer import sample_counts
+
+    per_dev_pixels = tile_pixels // n_px
+    counts = (
+        np.tile(sample_counts(per_dev_pixels, spp_chunk, n_slots), n_px)
+        * n_spp
+        * n_chunks
+    )
+
     start = _time.perf_counter()
     for tile in range(n_tiles):
         lo = tile * tile_pixels
         ids = np.arange(lo, lo + tile_pixels, dtype=np.int32)
-        ids = np.minimum(ids, n_pixels - 1)
         acc = jnp.zeros((tile_pixels, 3), jnp.float32)
         for chunk in range(n_chunks):
             k = artrng.fold(master, tile, chunk)
@@ -132,11 +146,11 @@ def render_scene_sharded(scene, cfg: RenderConfig, mesh: Mesh | None = None):
             acc = acc + rad
             total_rays += float(rays)
         hi = min(lo + tile_pixels, n_pixels)
-        fb[lo:hi] += np.asarray(acc)[: hi - lo]
+        fb[lo:hi] += (np.asarray(acc) / counts[:, None])[: hi - lo]
     elapsed = _time.perf_counter() - start
 
     actual_spp = n_chunks * spp_chunk * n_spp
-    fb = apply_gamma(fb / actual_spp, cfg.gamma).reshape(cfg.ny, cfg.nx, 3)
+    fb = apply_gamma(fb, cfg.gamma).reshape(cfg.ny, cfg.nx, 3)
     stats = {
         "seconds": elapsed,
         "rays": total_rays,

@@ -1,10 +1,11 @@
-"""Render driver: tiling, sample batching, gamma, framebuffer assembly.
+"""Render driver: tiling, queue batching, gamma, framebuffer assembly.
 
 The reference launches one CUDA thread per pixel looping ns samples
-(reference src/main.cu:107-133).  Here the renderer builds large ray
-wavefronts of (pixel-tile x sample-chunk) so the TPU always sees dense
-batches; tile and chunk sizes are planned from the scene's primitive counts
-to bound the (R, N) intersection working set.
+(reference src/main.cu:107-133).  Here the driver feeds the persistent
+wavefront integrator: each jit dispatch renders a (pixel-tile x sample
+chunk) queue through a fixed pool of ray slots.  On TPU the pool is sized
+for the fused Pallas intersection kernels; on CPU it is sized to bound the
+jnp (R x N) working set.
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ import numpy as np
 
 from art_tpu.core import rng as artrng
 from art_tpu.core.camera import Camera, generate_rays
-from art_tpu.render.integrator import trace
+from art_tpu.render.integrator import render_wavefront, trace
 from art_tpu.scene.tables import SceneTables
 
 
@@ -31,18 +32,41 @@ class RenderConfig:
     max_depth: int = 50  # reference hardcodes 50 (src/main.cu:54)
     gamma: float = 2.2
     seed: int = 1984  # reference seed (src/main.cu:92)
-    # ray-batch budget: max (R x N) intersection elements per dispatch
+    # CPU path: max (R x N) intersection elements per iteration
     batch_budget: int = 1 << 23
-    max_rays_per_batch: int = 1 << 17
+    # TPU path: slot-pool size (rounded to the Pallas ray block)
+    tpu_slots: int = 1 << 17
+    max_slots: int = 1 << 16
+    # max queue elements (pixel-samples) per jit dispatch
+    queue_budget: int = 1 << 25
 
 
 def plan_batches(n_pixels: int, spp: int, n_prims_max: int, cfg: RenderConfig):
-    """Choose (tile_pixels, spp_chunk) so R = tile * chunk fits the budget."""
-    n_prims_max = max(n_prims_max, 1)
-    rays = max(4096, min(cfg.max_rays_per_batch, cfg.batch_budget // n_prims_max))
-    tile_pixels = min(n_pixels, rays)
-    spp_chunk = min(spp, max(1, rays // tile_pixels))
-    return tile_pixels, spp_chunk
+    """Choose (tile_pixels, spp_chunk, n_slots) for the wavefront pool."""
+    if jax.default_backend() == "tpu":
+        from art_tpu.ops.pallas_kernels import RAY_BLOCK
+
+        n_slots = max(RAY_BLOCK, (cfg.tpu_slots // RAY_BLOCK) * RAY_BLOCK)
+    else:
+        n_prims_max = max(n_prims_max, 1)
+        n_slots = max(1024, min(cfg.max_slots, cfg.batch_budget // n_prims_max))
+    tile_pixels = min(n_pixels, cfg.queue_budget)
+    spp_chunk = min(spp, max(1, cfg.queue_budget // tile_pixels))
+    # Never make the pool larger than the queue: padded queue elements are
+    # wasted oversampling work (they are normalized out, but cost time).
+    n_q = tile_pixels * spp_chunk
+    if n_slots > n_q:
+        n_slots = max(256, n_q)
+    return tile_pixels, spp_chunk, n_slots
+
+
+def sample_counts(tile_pixels: int, spp: int, n_slots: int) -> np.ndarray:
+    """Per-pixel sample count for one wavefront dispatch.
+
+    The global work-stealing queue consumes exactly P*spp elements, so every
+    pixel receives exactly spp samples."""
+    del n_slots
+    return np.full(tile_pixels, spp, np.int64)
 
 
 def _render_batch(
@@ -58,7 +82,8 @@ def _render_batch(
     max_depth: int,
     gradient_bg: bool,
 ):
-    """Sum of radiance over spp_chunk samples per pixel: (P,3), plus ray count."""
+    """Fixed-batch render path (compile-check entry + small utilities):
+    (P,3) radiance sum over spp_chunk, plus ray count."""
     P = pix.shape[0]
     R = P * spp_chunk
     pix_r = jnp.repeat(pix, spp_chunk)
@@ -77,9 +102,12 @@ def _render_batch(
     return radiance.reshape(P, spp_chunk, 3).sum(axis=1), rays_traced
 
 
-_render_batch_jit = jax.jit(
-    _render_batch,
-    static_argnames=("nx", "ny", "spp_chunk", "max_depth", "gradient_bg"),
+_wavefront_jit = jax.jit(
+    render_wavefront,
+    static_argnames=(
+        "spp", "tile_pixels", "total_pixels", "nx", "ny",
+        "max_depth", "gradient_bg", "n_slots",
+    ),
 )
 
 
@@ -102,51 +130,59 @@ def render_scene(scene, cfg: RenderConfig, verbose: bool = False):
 
     n_pixels = cfg.nx * cfg.ny
     n_prims_max = max(tables.n_spheres, tables.n_quads, tables.n_boxes, 1)
-    tile_pixels, spp_chunk = plan_batches(n_pixels, cfg.spp, n_prims_max, cfg)
+    tile_pixels, spp_chunk, n_slots = plan_batches(
+        n_pixels, cfg.spp, n_prims_max, cfg
+    )
     n_tiles = -(-n_pixels // tile_pixels)
     n_chunks = -(-cfg.spp // spp_chunk)
 
     if verbose:
         print(
             f"render {cfg.nx}x{cfg.ny} spp={cfg.spp} depth={cfg.max_depth} "
-            f"tiles={n_tiles}x{tile_pixels}px chunks={n_chunks}x{spp_chunk}spp",
+            f"tiles={n_tiles}x{tile_pixels}px chunks={n_chunks}x{spp_chunk}spp "
+            f"slots={n_slots}",
             file=sys.stderr,
         )
 
     master = jax.random.PRNGKey(cfg.seed)
     fb = np.zeros((n_pixels, 3), np.float32)
+    counts_chunk = sample_counts(tile_pixels, spp_chunk, n_slots)
     total_rays = 0.0
+    total_iters = 0
     start = _time.perf_counter()
 
     for tile in range(n_tiles):
         lo = tile * tile_pixels
         hi = min(lo + tile_pixels, n_pixels)
-        ids = np.arange(lo, lo + tile_pixels, dtype=np.int32)
-        ids = np.minimum(ids, n_pixels - 1)  # pad the last tile
-        pix = jnp.asarray(ids)
         acc = jnp.zeros((tile_pixels, 3), jnp.float32)
+        rays_dev = jnp.float32(0.0)
+        iters_total = 0
         for chunk in range(n_chunks):
             k = artrng.fold(master, tile, chunk)
-            batch, rays = _render_batch_jit(
+            batch, rays, iters = _wavefront_jit(
                 tables,
                 cam,
-                pix,
-                k,
-                background,
+                jnp.int32(lo),
+                key=k,
+                background=background,
+                spp=spp_chunk,
+                tile_pixels=tile_pixels,
+                total_pixels=n_pixels,
                 nx=cfg.nx,
                 ny=cfg.ny,
-                spp_chunk=spp_chunk,
                 max_depth=cfg.max_depth,
                 gradient_bg=scene.gradient_bg,
+                n_slots=n_slots,
             )
             acc = acc + batch
-            total_rays += float(rays)
-        fb[lo:hi] += np.asarray(acc)[: hi - lo]
+            rays_dev = rays_dev + rays
+            iters_total += int(iters)
+        counts = counts_chunk * n_chunks
+        fb[lo:hi] += (np.asarray(acc) / counts[:, None])[: hi - lo]
+        total_rays += float(rays_dev)
+        total_iters += iters_total
 
     elapsed = _time.perf_counter() - start
-    # Note: n_chunks * spp_chunk may exceed cfg.spp; normalize by actual samples.
-    actual_spp = n_chunks * spp_chunk
-    fb = fb / actual_spp
     fb = apply_gamma(fb, cfg.gamma)
     fb = fb.reshape(cfg.ny, cfg.nx, 3)
 
@@ -154,9 +190,14 @@ def render_scene(scene, cfg: RenderConfig, verbose: bool = False):
         "seconds": elapsed,
         "rays": total_rays,
         "mrays_per_sec": total_rays / elapsed / 1e6 if elapsed > 0 else 0.0,
-        "spp": actual_spp,
+        "spp": n_chunks * spp_chunk,
         "tile_pixels": tile_pixels,
         "spp_chunk": spp_chunk,
+        "n_slots": n_slots,
+        "iterations": total_iters,
+        "occupancy": (
+            total_rays / (total_iters * n_slots) if total_iters else 0.0
+        ),
     }
     if verbose:
         print(

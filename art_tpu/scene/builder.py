@@ -401,4 +401,13 @@ class _Compiler:
         if self.images:
             t.update(atlas=ImageAtlas.pack(self.images))
 
-        return SceneTables(**t)
+        tables = SceneTables(**t)
+        # Kernel-packed copies for the Pallas intersection path.
+        from art_tpu.ops.pallas_kernels import pack_boxes, pack_quads, pack_spheres
+
+        return dataclasses.replace(
+            tables,
+            sph_packed=pack_spheres(tables),
+            quad_packed=pack_quads(tables),
+            box_packed=pack_boxes(tables),
+        )

@@ -125,6 +125,11 @@ class SceneTables:
     tex_img: jnp.ndarray  # (T,) int32 atlas image id
     atlas: ImageAtlas
 
+    # ---- kernel-packed copies (built once at compile; see ops/pallas_kernels) ----
+    sph_packed: jnp.ndarray  # (S, 8)
+    quad_packed: jnp.ndarray  # (Q, 12)
+    box_packed: jnp.ndarray  # (B, 12)
+
     # ---- static metadata (specializes the compiled trace per scene) ----
     n_spheres: int = _static()
     n_quads: int = _static()
@@ -186,6 +191,9 @@ def empty_tables() -> dict:
         tex_child=_z((1, 2), jnp.int32),
         tex_img=_z((1,), jnp.int32),
         atlas=ImageAtlas.empty(),
+        sph_packed=_z((1, 8)),
+        quad_packed=_z((1, 12)),
+        box_packed=_z((1, 12)),
         n_spheres=0,
         n_quads=0,
         n_boxes=0,

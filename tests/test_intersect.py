@@ -70,16 +70,24 @@ def test_moving_sphere_position_at_time():
 
 
 def test_sphere_uv_poles_and_equator():
+    # UV computation is statically gated on UV-dependent textures being
+    # present; call the attribute path with needs_uv=True directly.
     sc = _scene(Sphere((0, 0, 0), 1.0, MAT))
     # hit +x point from outside: normal (1,0,0) -> phi = atan2(0,1)+pi = pi -> u=0.5
     o, d, tm = _rays([[3, 0, 0]], [[-1, 0, 0]])
     rec = intersect.closest_surface(sc.tables, o, d, tm, T_MIN)
-    np.testing.assert_allclose(float(rec.u[0]), 0.5, atol=1e-5)
-    np.testing.assert_allclose(float(rec.v[0]), 0.5, atol=1e-5)
+    _, _, u, v, _ = intersect.sphere_attributes(
+        sc.tables, o, d, tm, rec.t, jnp.zeros((1,), jnp.int32), needs_uv=True
+    )
+    np.testing.assert_allclose(float(u[0]), 0.5, atol=1e-5)
+    np.testing.assert_allclose(float(v[0]), 0.5, atol=1e-5)
     # top pole: normal (0,1,0) -> theta = acos(-1) = pi -> v=1
     o, d, tm = _rays([[0, 3, 0]], [[0, -1, 0]])
     rec = intersect.closest_surface(sc.tables, o, d, tm, T_MIN)
-    np.testing.assert_allclose(float(rec.v[0]), 1.0, atol=1e-4)
+    _, _, u, v, _ = intersect.sphere_attributes(
+        sc.tables, o, d, tm, rec.t, jnp.zeros((1,), jnp.int32), needs_uv=True
+    )
+    np.testing.assert_allclose(float(v[0]), 1.0, atol=1e-4)
 
 
 def test_quad_hit_and_interior_reject():
@@ -207,7 +215,8 @@ def test_medium_scatter_statistics():
     t = jnp.zeros((n,), jnp.float32)
     surf = intersect.closest_surface(sc.tables, o, d, t, T_MIN)
     assert not bool(np.asarray(surf.hit).any())  # media only, no surfaces
-    rec = intersect.apply_media(sc.tables, o, d, T_MIN, surf, jax.random.PRNGKey(7))
+    u_med = jax.random.uniform(jax.random.PRNGKey(7), (n, 1), jnp.float32)
+    rec = intersect.apply_media(sc.tables, o, d, T_MIN, surf, u_med)
     hit = np.asarray(rec.hit)
     # P(scatter) = 1 - exp(-density * 8) ~ 0.9817 through the 8-long chord
     p_hit = hit.mean()
@@ -228,7 +237,8 @@ def test_medium_blocked_by_closer_surface():
     sc = _scene(med, wall)
     o, d, tm = _rays([[0, 0, 0]], [[0, 0, -1]])
     surf = intersect.closest_surface(sc.tables, o, d, tm, T_MIN)
-    rec = intersect.apply_media(sc.tables, o, d, T_MIN, surf, jax.random.PRNGKey(0))
+    u_med = jax.random.uniform(jax.random.PRNGKey(0), (1, 1), jnp.float32)
+    rec = intersect.apply_media(sc.tables, o, d, T_MIN, surf, u_med)
     # wall at z=-5 is before the medium entry at z=-6: must hit the wall
     assert bool(rec.hit[0])
     np.testing.assert_allclose(float(rec.t[0]), 5.0, rtol=1e-5)

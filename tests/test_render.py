@@ -80,8 +80,11 @@ def test_depth_limit_terminates():
     sc = build_scene("three_spheres", 16, 9)
     fb, stats = render_scene(sc, _cfg(nx=16, ny=9, spp=2, max_depth=3))
     assert np.isfinite(fb).all()
-    # ray count bounded by pixels * spp * depth
-    assert stats["rays"] <= 16 * 9 * 2 * 3 + 1
+    # ray count bounded by (queue + pool padding) * depth
+    from art_tpu.render.renderer import sample_counts
+
+    max_q = sample_counts(stats["tile_pixels"], stats["spp_chunk"], stats["n_slots"]).sum()
+    assert stats["rays"] <= max_q * 3 + 1
 
 
 def test_three_spheres_sanity():

@@ -42,11 +42,18 @@ def _rec(n, mat_id, normal=(0.0, 0.0, 1.0)):
     )
 
 
+def shade_with_key(tables, d, rec, key):
+    """Test helper: derive the uniform block shade() now expects."""
+    n = d.shape[0]
+    u = jax.random.uniform(key, (n, 4), jnp.float32)
+    return shade(tables, d, rec, u[:, 0:3], u[:, 3])
+
+
 def test_lambertian_scatter_distribution():
     t = _tables(Lambertian((0.8, 0.4, 0.2)))
     n = 8192
     d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
-    out = shade(t, d, _rec(n, 0), jax.random.PRNGKey(0))
+    out = shade_with_key(t, d, _rec(n, 0), jax.random.PRNGKey(0))
     assert bool(np.all(np.asarray(out.scattered)))
     np.testing.assert_allclose(np.asarray(out.attenuation)[0], [0.8, 0.4, 0.2], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out.emitted), 0.0, atol=1e-7)
@@ -61,7 +68,7 @@ def test_metal_mirror_and_absorb():
     t = _tables(Metal((0.9, 0.9, 0.9), 0.0))
     n = 4
     d = jnp.tile(jnp.asarray([[1.0, 0.0, -1.0]], jnp.float32), (n, 1))
-    out = shade(t, d, _rec(n, 0), jax.random.PRNGKey(0))
+    out = shade_with_key(t, d, _rec(n, 0), jax.random.PRNGKey(0))
     # perfect mirror: unit(d) reflected about n=(0,0,1)
     exp = np.array([1.0, 0.0, 1.0]) / np.sqrt(2)
     np.testing.assert_allclose(np.asarray(out.direction), np.tile(exp, (n, 1)), atol=1e-5)
@@ -70,7 +77,7 @@ def test_metal_mirror_and_absorb():
     t2 = _tables(Metal((0.9, 0.9, 0.9), 1.0))
     n = 4096
     d = jnp.tile(jnp.asarray([[1.0, 0.0, -0.01]], jnp.float32), (n, 1))
-    out2 = shade(t2, d, _rec(n, 0), jax.random.PRNGKey(1))
+    out2 = shade_with_key(t2, d, _rec(n, 0), jax.random.PRNGKey(1))
     frac_absorbed = 1.0 - np.asarray(out2.scattered).mean()
     assert 0.2 < frac_absorbed < 0.8  # roughly half the fuzz sphere is below surface
 
@@ -80,7 +87,7 @@ def test_dielectric_normal_incidence_schlick_rate():
     t = _tables(Dielectric(ref_idx))
     n = 20000
     d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
-    out = shade(t, d, _rec(n, 0), jax.random.PRNGKey(2))
+    out = shade_with_key(t, d, _rec(n, 0), jax.random.PRNGKey(2))
     assert bool(np.all(np.asarray(out.scattered)))
     np.testing.assert_allclose(np.asarray(out.attenuation), 1.0, atol=1e-6)
     dirs = np.asarray(out.direction)
@@ -98,7 +105,7 @@ def test_dielectric_tir_always_reflects():
     t = _tables(Dielectric(1.5))
     n = 256
     d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.3]], jnp.float32), (n, 1))  # exiting
-    out = shade(t, d, _rec(n, 0), jax.random.PRNGKey(3))
+    out = shade_with_key(t, d, _rec(n, 0), jax.random.PRNGKey(3))
     dirs = np.asarray(out.direction)
     # reflect(d, n) = d - 2(d.n)n = (1, 0, -0.3)
     np.testing.assert_allclose(dirs, np.tile([1.0, 0.0, -0.3], (n, 1)), atol=1e-5)
@@ -108,7 +115,7 @@ def test_diffuse_light_emits_and_dies():
     t = _tables(DiffuseLight((4.0, 3.0, 2.0)))
     n = 8
     d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
-    out = shade(t, d, _rec(n, 0), jax.random.PRNGKey(4))
+    out = shade_with_key(t, d, _rec(n, 0), jax.random.PRNGKey(4))
     np.testing.assert_allclose(np.asarray(out.emitted), np.tile([4, 3, 2], (n, 1)), rtol=1e-6)
     assert not bool(np.any(np.asarray(out.scattered)))
 
@@ -117,7 +124,7 @@ def test_isotropic_uniform_directions():
     t = _tables(Isotropic((0.5, 0.5, 0.5)))
     n = 8192
     d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
-    out = shade(t, d, _rec(n, 0), jax.random.PRNGKey(5))
+    out = shade_with_key(t, d, _rec(n, 0), jax.random.PRNGKey(5))
     dirs = np.asarray(out.direction)
     np.testing.assert_allclose(dirs.mean(0), [0, 0, 0], atol=0.02)
     assert np.max(np.linalg.norm(dirs, axis=-1)) <= 1.0 + 1e-5
