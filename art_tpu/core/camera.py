@@ -85,6 +85,37 @@ def make_camera(
     )
 
 
+def rays_from_uniforms_p(
+    cam: Camera,
+    s: jnp.ndarray,
+    t: jnp.ndarray,
+    u_lens0: jnp.ndarray,  # (R,)
+    u_lens1: jnp.ndarray,  # (R,)
+    u_time: jnp.ndarray,  # (R,)
+):
+    """Batched get_ray (reference src/camera.cuh:35-47), component-planar.
+
+    ``s``/``t`` are (R,) viewport coordinates in [0,1] (already jittered).
+    Returns (o 3-tuple, d 3-tuple, times).  Directions are *not* normalized,
+    matching the reference.
+    """
+    r = cam.lens_radius * jnp.sqrt(u_lens0)
+    phi = (2.0 * jnp.pi) * u_lens1
+    rdx = r * jnp.cos(phi)
+    rdy = r * jnp.sin(phi)
+    times = cam.time0 + u_time * (cam.time1 - cam.time0)
+
+    o = tuple(cam.origin[c] + rdx * cam.u[c] + rdy * cam.v[c] for c in range(3))
+    d = tuple(
+        cam.lower_left_corner[c]
+        + s * cam.horizontal[c]
+        + t * cam.vertical[c]
+        - o[c]
+        for c in range(3)
+    )
+    return o, d, times
+
+
 def rays_from_uniforms(
     cam: Camera,
     s: jnp.ndarray,
@@ -92,25 +123,9 @@ def rays_from_uniforms(
     u_lens: jnp.ndarray,  # (R,2)
     u_time: jnp.ndarray,  # (R,)
 ):
-    """Batched get_ray (reference src/camera.cuh:35-47) from raw uniforms.
-
-    ``s``/``t`` are (R,) viewport coordinates in [0,1] (already jittered).
-    Returns (origins, directions, times), each SoA over R.  Directions are
-    *not* normalized, matching the reference.
-    """
-    rd = cam.lens_radius * artrng.disk_from_uniforms(u_lens)
-    offset = rd[:, 0:1] * cam.u[None, :] + rd[:, 1:2] * cam.v[None, :]
-    times = cam.time0 + u_time * (cam.time1 - cam.time0)
-
-    origins = cam.origin[None, :] + offset
-    directions = (
-        cam.lower_left_corner[None, :]
-        + s[:, None] * cam.horizontal[None, :]
-        + t[:, None] * cam.vertical[None, :]
-        - cam.origin[None, :]
-        - offset
-    )
-    return origins, directions, times
+    """(R,3) wrapper over rays_from_uniforms_p."""
+    o, d, times = rays_from_uniforms_p(cam, s, t, u_lens[:, 0], u_lens[:, 1], u_time)
+    return jnp.stack(o, axis=-1), jnp.stack(d, axis=-1), times
 
 
 def generate_rays(cam: Camera, s: jnp.ndarray, t: jnp.ndarray, key: jax.Array):

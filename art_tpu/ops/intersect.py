@@ -2,11 +2,15 @@
 
 TPU-native inversion of the reference's virtual ``hit()`` dispatch through a
 recursive BVH (reference src/bvh.cuh:95-106): each primitive type is
-intersected for the *whole wavefront at once* as dense (R, N) math, the
-heavy ray x primitive contractions are expressed as (R,3)@(3,N) matmuls so
-XLA maps them onto the MXU, and the closest hit is a masked min-reduction.
-Per-type winners are then re-evaluated on gathered per-ray parameters to
-reconstruct hit attributes without materializing (R, N, 3) intermediates.
+intersected for the *whole wavefront at once*, and the closest hit is a
+masked min-reduction.  Two implementations share the same math:
+
+* a **component-planar core** (``closest_surface_p`` / ``apply_media_p``)
+  operating on 3-tuples of (R,) planes — full 128-lane utilization on TPU
+  and a zero-conversion boundary with the Pallas kernels
+  (ops/pallas_kernels.py), which are used automatically on TPU backends;
+* array-of-struct wrappers (``closest_surface`` / ``apply_media``) keeping
+  the portable (R, 3) API for tests and ad-hoc use.
 
 Participating media (reference src/constant_medium.cuh:36-64) are resolved
 after the surface pass: each medium's convex boundary yields an analytic
@@ -17,17 +21,23 @@ traversals — followed by masked exponential free-flight sampling.
 from __future__ import annotations
 
 import dataclasses
+import os
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from art_tpu.core.vecmath import (
     BIG,
-    cross,
-    dot,
-    ray_at,
-    rotate_y,
-    rotate_y_inv,
+    p_cross,
+    p_dot,
+    p_ray_at,
+    p_rotate_y,
+    p_rotate_y_inv,
+    p_stack,
+    p_sub,
+    p_unstack,
+    p_where,
 )
 from art_tpu.scene.tables import SceneTables
 
@@ -35,295 +45,56 @@ _PARALLEL_EPS = 1e-8  # quad parallel-plane epsilon (src/quad.cuh:64)
 _DIR_EPS = 1e-12  # slab-test division guard
 
 
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass(frozen=True)
-class HitRecord:
-    """SoA hit record over the ray batch (reference src/hittable.cuh:13-21)."""
+class HitRecordP(NamedTuple):
+    """Planar SoA hit record (reference src/hittable.cuh:13-21)."""
 
     hit: jnp.ndarray  # (R,) bool
     t: jnp.ndarray  # (R,)
-    p: jnp.ndarray  # (R,3)
-    normal: jnp.ndarray  # (R,3) shading normal
+    p: tuple  # 3 x (R,)
+    normal: tuple  # 3 x (R,) shading normal
     u: jnp.ndarray  # (R,)
     v: jnp.ndarray  # (R,)
     mat: jnp.ndarray  # (R,) int32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HitRecord:
+    """Array-of-struct hit record (portable API)."""
+
+    hit: jnp.ndarray
+    t: jnp.ndarray
+    p: jnp.ndarray  # (R,3)
+    normal: jnp.ndarray  # (R,3)
+    u: jnp.ndarray
+    v: jnp.ndarray
+    mat: jnp.ndarray
+
+    def to_planar(self) -> HitRecordP:
+        return HitRecordP(
+            self.hit, self.t, p_unstack(self.p), p_unstack(self.normal),
+            self.u, self.v, self.mat,
+        )
+
+
+def _to_aos(rec: HitRecordP) -> HitRecord:
+    return HitRecord(
+        rec.hit, rec.t, p_stack(rec.p), p_stack(rec.normal), rec.u, rec.v, rec.mat
+    )
 
 
 def _safe_dir(d: jnp.ndarray) -> jnp.ndarray:
     """Clamp direction components away from zero for slab division.
 
     Equivalent to the reference quad parallel-miss (src/quad.cuh:64): an
-    exactly-parallel ray cannot enter/exit through that slab axis.
-    """
+    exactly-parallel ray cannot enter/exit through that slab axis."""
     mag = jnp.abs(d)
     sign = jnp.where(d >= 0.0, 1.0, -1.0)
     return jnp.where(mag < _DIR_EPS, sign * _DIR_EPS, d)
 
 
-# --------------------------------------------------------------------------
-# Spheres
-# --------------------------------------------------------------------------
-
-def sphere_candidates(tables: SceneTables, o, d, time, t_min):
-    """Best sphere hit per ray: (t_best (R,), idx (R,)).
-
-    Half-b quadratic with the center evaluated at the ray's shutter time
-    (reference src/sphere.cuh:51-89).  The oc-dot products are expanded so
-    the ray x sphere contraction is two (R,3)@(3,S) matmuls:
-        oc.d  = o.d - c(t).d,   oc.oc = |o|^2 - 2 o.c(t) + |c(t)|^2
-    with c(t) = c0 + t*vel.
-    """
-    c0 = tables.sph_center  # (S,3)
-    r = tables.sph_radius  # (S,)
-    a = dot(d, d)  # (R,)
-    od = dot(o, d)  # (R,)
-    oo = dot(o, o)  # (R,)
-
-    d_c0 = d @ c0.T  # (R,S)
-    o_c0 = o @ c0.T  # (R,S)
-    c0_sq = jnp.sum(c0 * c0, axis=-1)  # (S,)
-
-    if tables.has_moving:
-        vel = tables.sph_vel
-        d_vel = d @ vel.T
-        o_vel = o @ vel.T
-        c0_vel = jnp.sum(c0 * vel, axis=-1)
-        vel_sq = jnp.sum(vel * vel, axis=-1)
-        tcol = time[:, None]
-        cd = d_c0 + tcol * d_vel  # c(t) . d
-        co = o_c0 + tcol * o_vel  # o . c(t)
-        c_sq = c0_sq[None, :] + 2.0 * tcol * c0_vel[None, :] + (tcol * tcol) * vel_sq[None, :]
-    else:
-        cd = d_c0
-        co = o_c0
-        c_sq = c0_sq[None, :]
-
-    b = od[:, None] - cd  # oc.d (half-b)
-    csq = oo[:, None] - 2.0 * co + c_sq - (r * r)[None, :]
-    disc = b * b - a[:, None] * csq
-    s = jnp.sqrt(jnp.maximum(disc, 0.0))
-    inv_a = (1.0 / a)[:, None]
-    t1 = (-b - s) * inv_a
-    t2 = (-b + s) * inv_a
-    valid = disc > 0.0  # strict, as in the reference (src/sphere.cuh:61)
-    t1ok = valid & (t1 > t_min)
-    t2ok = valid & (t2 > t_min)
-    t = jnp.where(t1ok, t1, jnp.where(t2ok, t2, BIG))
-    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
-    t_best = jnp.min(t, axis=1)
-    return t_best, idx
-
-
-def sphere_attributes(tables: SceneTables, o, d, time, t, idx, needs_uv: bool = True):
-    """Reconstruct normal/uv for the winning sphere (src/sphere.cuh:69-86).
-
-    ``needs_uv`` is static; scenes with no UV-dependent textures skip the
-    arccos/atan2 transcendentals entirely.
-    """
-    c0 = tables.sph_center[idx]
-    r = tables.sph_radius[idx]
-    if tables.has_moving:
-        c = c0 + time[:, None] * tables.sph_vel[idx]
-    else:
-        c = c0
-    p = ray_at(o, d, t)
-    normal = (p - c) / r[:, None]  # signed radius flips hollow-shell normals
-    if needs_uv:
-        # spherical uv from the (signed) normal (src/sphere.cuh:42-49)
-        theta = jnp.arccos(jnp.clip(-normal[:, 1], -1.0, 1.0))
-        phi = jnp.arctan2(-normal[:, 2], normal[:, 0]) + jnp.pi
-        u = phi / (2.0 * jnp.pi)
-        v = theta / jnp.pi
-    else:
-        u = v = jnp.zeros_like(t)
-    return p, normal, u, v, tables.sph_mat[idx]
-
-
-# --------------------------------------------------------------------------
-# Quads
-# --------------------------------------------------------------------------
-
-def quad_candidates(tables: SceneTables, o, d, t_min):
-    """Best quad hit per ray (plane hit + interior test, src/quad.cuh:60-90)."""
-    n = tables.quad_n  # (Q,3)
-    nd = d @ n.T  # (R,Q)
-    no = o @ n.T
-    t = (tables.quad_d[None, :] - no) / nd
-    oa = o @ tables.quad_avec.T
-    da = d @ tables.quad_avec.T
-    ob = o @ tables.quad_bvec.T
-    db = d @ tables.quad_bvec.T
-    alpha = oa + t * da - tables.quad_ca[None, :]
-    beta = ob + t * db - tables.quad_cb[None, :]
-    valid = (
-        (jnp.abs(nd) >= _PARALLEL_EPS)
-        & (t > t_min)
-        & (alpha >= 0.0)
-        & (alpha <= 1.0)
-        & (beta >= 0.0)
-        & (beta <= 1.0)
-    )
-    t = jnp.where(valid, t, BIG)
-    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
-    t_best = jnp.min(t, axis=1)
-    return t_best, idx
-
-
-def quad_attributes(tables: SceneTables, o, d, t, idx):
-    """Reconstruct (alpha, beta) + ray-facing normal for the winning quad."""
-    q = tables.quad_q[idx]
-    uvec = tables.quad_u[idx]
-    vvec = tables.quad_v[idx]
-    w = tables.quad_w[idx]
-    n = tables.quad_n[idx]
-    p = ray_at(o, d, t)
-    pl = p - q
-    alpha = dot(w, cross(pl, vvec))
-    beta = dot(w, cross(uvec, pl))
-    # shading normal faces against the ray (src/quad.cuh:84-86)
-    flip = dot(n, d) > 0.0
-    normal = jnp.where(flip[:, None], -n, n)
-    return p, normal, alpha, beta, tables.quad_mat[idx]
-
-
-# --------------------------------------------------------------------------
-# Oriented boxes (slab test; replaces compound6's six quad tests)
-# --------------------------------------------------------------------------
-
-def _box_ray_to_object(tables, o, d):
-    """Per-box object-space ray components as (R,B) outer-broadcast arrays."""
-    off = tables.box_off  # (B,3)
-    ox = o[:, 0:1] - off[None, :, 0]  # (R,B)
-    oy = o[:, 1:2] - off[None, :, 1]
-    oz = o[:, 2:3] - off[None, :, 2]
-    dx = jnp.broadcast_to(d[:, 0:1], ox.shape)
-    dy = jnp.broadcast_to(d[:, 1:2], ox.shape)
-    dz = jnp.broadcast_to(d[:, 2:3], ox.shape)
-    if tables.has_rotated_boxes:
-        # local = R(-theta) * world (src/hittable.cuh:118-127)
-        cos_t = tables.box_cos[None, :]
-        sin_t = tables.box_sin[None, :]
-        ox, oz = cos_t * ox - sin_t * oz, sin_t * ox + cos_t * oz
-        dx, dz = cos_t * dx - sin_t * dz, sin_t * dx + cos_t * dz
-    return ox, oy, oz, dx, dy, dz
-
-
-def _slab_interval(bmin, bmax, ox, oy, oz, dx, dy, dz):
-    """(t_entry, t_exit) per (ray, box); entry > exit means miss (src/aabb.cuh:45-61)."""
-    t_entry = jnp.full_like(ox, -BIG)
-    t_exit = jnp.full_like(ox, BIG)
-    for axis, (oc, dc) in enumerate(((ox, dx), (oy, dy), (oz, dz))):
-        inv = 1.0 / _safe_dir(dc)
-        ta = (bmin[None, :, axis] - oc) * inv
-        tb = (bmax[None, :, axis] - oc) * inv
-        t0 = jnp.minimum(ta, tb)
-        t1 = jnp.maximum(ta, tb)
-        t_entry = jnp.maximum(t_entry, t0)
-        t_exit = jnp.minimum(t_exit, t1)
-    return t_entry, t_exit
-
-
-def box_candidates(tables: SceneTables, o, d, t_min):
-    """Best box hit per ray.
-
-    Equivalent to compound6's closest-hit over 6 faces (src/quad.cuh:124-139):
-    the candidate ts of a convex box are exactly {entry, exit}, so pick entry
-    if it is past t_min, else exit.
-    """
-    ox, oy, oz, dx, dy, dz = _box_ray_to_object(tables, o, d)
-    t_entry, t_exit = _slab_interval(tables.box_min, tables.box_max, ox, oy, oz, dx, dy, dz)
-    through = t_entry < t_exit
-    entry_ok = through & (t_entry > t_min)
-    exit_ok = through & (t_exit > t_min)
-    t = jnp.where(entry_ok, t_entry, jnp.where(exit_ok, t_exit, BIG))
-    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
-    t_best = jnp.min(t, axis=1)
-    return t_best, idx
-
-
-def box_attributes(tables: SceneTables, o, d, t, idx):
-    """Face normal + the reference's per-face UV (make_box faces, src/quad.cuh:145-162)."""
-    bmin = tables.box_min[idx]  # (R,3)
-    bmax = tables.box_max[idx]
-    cos_t = tables.box_cos[idx]
-    sin_t = tables.box_sin[idx]
-    off = tables.box_off[idx]
-
-    o_obj = rotate_y_inv(o - off, cos_t, sin_t)
-    d_obj = rotate_y_inv(d, cos_t, sin_t)
-
-    # Re-run the per-axis slab to identify entry/exit face.
-    inv = 1.0 / _safe_dir(d_obj)
-    ta = (bmin - o_obj) * inv
-    tb = (bmax - o_obj) * inv
-    t0 = jnp.minimum(ta, tb)  # (R,3)
-    t1 = jnp.maximum(ta, tb)
-    t_entry = jnp.max(t0, axis=-1)
-    axis_entry = jnp.argmax(t0, axis=-1)
-    axis_exit = jnp.argmin(t1, axis=-1)
-    # t equals either t_entry or t_exit; classify by distance.
-    is_entry = jnp.abs(t - t_entry) <= jnp.abs(t - jnp.min(t1, axis=-1))
-    axis = jnp.where(is_entry, axis_entry, axis_exit)
-
-    d_axis = jnp.take_along_axis(d_obj, axis[:, None], axis=-1)[:, 0]
-    sgn = jnp.where(d_axis >= 0.0, 1.0, -1.0)
-    # Shading normal always faces against the ray; outward face normal is
-    # -sgn (entry) or +sgn (exit).
-    n_obj = -sgn
-    outward_sgn = jnp.where(is_entry, -sgn, sgn)
-
-    normal_obj = (
-        jnp.zeros((t.shape[0], 3), jnp.float32)
-        .at[jnp.arange(t.shape[0]), axis]
-        .set(n_obj)
-    )
-    normal = rotate_y(normal_obj, cos_t, sin_t)
-
-    p_obj = o_obj + t[:, None] * d_obj
-    x, y, z = p_obj[:, 0], p_obj[:, 1], p_obj[:, 2]
-    wx = bmax[:, 0] - bmin[:, 0]
-    wy = bmax[:, 1] - bmin[:, 1]
-    wz = bmax[:, 2] - bmin[:, 2]
-    pos_face = outward_sgn > 0.0
-
-    # Face UV per make_box parameterization (src/quad.cuh:154-159).
-    ax = axis == 0
-    ay = axis == 1
-    ua = jnp.where(
-        ax,
-        jnp.where(pos_face, (bmax[:, 2] - z) / wz, (z - bmin[:, 2]) / wz),
-        jnp.where(
-            ay,
-            (x - bmin[:, 0]) / wx,
-            jnp.where(pos_face, (x - bmin[:, 0]) / wx, (bmax[:, 0] - x) / wx),
-        ),
-    )
-    va = jnp.where(
-        ax,
-        (y - bmin[:, 1]) / wy,
-        jnp.where(
-            ay,
-            jnp.where(pos_face, (bmax[:, 2] - z) / wz, (z - bmin[:, 2]) / wz),
-            (y - bmin[:, 1]) / wy,
-        ),
-    )
-
-    p = ray_at(o, d, t)
-    return p, normal, ua, va, tables.box_mat[idx]
-
-
-# --------------------------------------------------------------------------
-# Closest surface hit across all segments
-# --------------------------------------------------------------------------
-
 def _use_pallas(R: int) -> bool:
-    """Use the fused Pallas intersection kernels on TPU backends.
-
-    The jnp path stays as the portable reference implementation (CPU tests);
-    it is also the fallback when the ray count doesn't tile the kernel grid.
-    """
-    import os
-
+    """Use the fused Pallas intersection kernels on TPU backends."""
     if os.environ.get("ART_TPU_NO_PALLAS"):
         return False
     from art_tpu.ops.pallas_kernels import RAY_BLOCK
@@ -331,8 +102,254 @@ def _use_pallas(R: int) -> bool:
     return jax.default_backend() == "tpu" and R % RAY_BLOCK == 0
 
 
-def closest_surface(tables: SceneTables, o, d, time, t_min) -> HitRecord:
-    R = o.shape[0]
+# --------------------------------------------------------------------------
+# Candidate passes (jnp reference implementations, planar inputs)
+# --------------------------------------------------------------------------
+
+def sphere_candidates_p(tables: SceneTables, o, d, time, t_min):
+    """Best sphere hit per ray: (t_best (R,), idx (R,)).
+
+    Half-b quadratic with the center evaluated at the ray's shutter time
+    (reference src/sphere.cuh:51-89), expanded over (R,1)x(1,S) broadcasts.
+    """
+    c0 = tables.sph_center  # (S,3)
+    r = tables.sph_radius  # (S,)
+    ox, oy, oz = (c[:, None] for c in o)
+    dx, dy, dz = (c[:, None] for c in d)
+    a = dx * dx + dy * dy + dz * dz
+
+    cx = c0[None, :, 0]
+    cy = c0[None, :, 1]
+    cz = c0[None, :, 2]
+    if tables.has_moving:
+        vel = tables.sph_vel
+        tcol = time[:, None]
+        cx = cx + tcol * vel[None, :, 0]
+        cy = cy + tcol * vel[None, :, 1]
+        cz = cz + tcol * vel[None, :, 2]
+
+    ocx = ox - cx
+    ocy = oy - cy
+    ocz = oz - cz
+    b = ocx * dx + ocy * dy + ocz * dz
+    csq = ocx * ocx + ocy * ocy + ocz * ocz - (r * r)[None, :]
+    disc = b * b - a * csq
+    s = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv_a = 1.0 / a
+    t1 = (-b - s) * inv_a
+    t2 = (-b + s) * inv_a
+    valid = disc > 0.0  # strict, as in the reference (src/sphere.cuh:61)
+    t = jnp.where(valid & (t1 > t_min), t1, jnp.where(valid & (t2 > t_min), t2, BIG))
+    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
+    t_best = jnp.min(t, axis=1)
+    return t_best, idx
+
+
+def quad_candidates_p(tables: SceneTables, o, d, t_min):
+    """Best quad hit per ray (plane hit + interior test, src/quad.cuh:60-90)."""
+    n = tables.quad_n  # (Q,3)
+    ox, oy, oz = (c[:, None] for c in o)
+    dx, dy, dz = (c[:, None] for c in d)
+
+    def bdot(tab):
+        return ox * tab[None, :, 0] + oy * tab[None, :, 1] + oz * tab[None, :, 2]
+
+    def bdot_d(tab):
+        return dx * tab[None, :, 0] + dy * tab[None, :, 1] + dz * tab[None, :, 2]
+
+    nd = bdot_d(n)
+    no = bdot(n)
+    t = (tables.quad_d[None, :] - no) / nd
+    alpha = bdot(tables.quad_avec) + t * bdot_d(tables.quad_avec) - tables.quad_ca[None, :]
+    beta = bdot(tables.quad_bvec) + t * bdot_d(tables.quad_bvec) - tables.quad_cb[None, :]
+    valid = (
+        (jnp.abs(nd) >= _PARALLEL_EPS)
+        & (t > t_min)
+        & (alpha >= 0.0) & (alpha <= 1.0)
+        & (beta >= 0.0) & (beta <= 1.0)
+    )
+    t = jnp.where(valid, t, BIG)
+    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
+    t_best = jnp.min(t, axis=1)
+    return t_best, idx
+
+
+def box_candidates_p(tables: SceneTables, o, d, t_min):
+    """Best box hit per ray (slab test, replaces compound6 six-quad scan)."""
+    off = tables.box_off  # (B,3)
+    ox = o[0][:, None] - off[None, :, 0]
+    oy = o[1][:, None] - off[None, :, 1]
+    oz = o[2][:, None] - off[None, :, 2]
+    dx = jnp.broadcast_to(d[0][:, None], ox.shape)
+    dy = jnp.broadcast_to(d[1][:, None], ox.shape)
+    dz = jnp.broadcast_to(d[2][:, None], ox.shape)
+    if tables.has_rotated_boxes:
+        # local = R(-theta) * world (src/hittable.cuh:118-127)
+        ct = tables.box_cos[None, :]
+        st = tables.box_sin[None, :]
+        ox, oz = ct * ox - st * oz, st * ox + ct * oz
+        dx, dz = ct * dx - st * dz, st * dx + ct * dz
+
+    t_entry = jnp.full_like(ox, -BIG)
+    t_exit = jnp.full_like(ox, BIG)
+    for axis, (oc, dc) in enumerate(((ox, dx), (oy, dy), (oz, dz))):
+        inv = 1.0 / _safe_dir(dc)
+        ta = (tables.box_min[None, :, axis] - oc) * inv
+        tb = (tables.box_max[None, :, axis] - oc) * inv
+        t_entry = jnp.maximum(t_entry, jnp.minimum(ta, tb))
+        t_exit = jnp.minimum(t_exit, jnp.maximum(ta, tb))
+
+    through = t_entry < t_exit
+    t = jnp.where(
+        through & (t_entry > t_min),
+        t_entry,
+        jnp.where(through & (t_exit > t_min), t_exit, BIG),
+    )
+    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
+    t_best = jnp.min(t, axis=1)
+    return t_best, idx
+
+
+# --------------------------------------------------------------------------
+# Winner attribute reconstruction (planar)
+# --------------------------------------------------------------------------
+
+def sphere_attributes_p(tables: SceneTables, o, d, time, t, idx, needs_uv: bool):
+    """Normal/uv for the winning sphere (src/sphere.cuh:69-86).
+
+    One packed-row fetch supplies center/velocity/radius/material."""
+    from art_tpu.ops.gather import take_rows
+
+    row = take_rows(tables.sph_packed, idx)  # (R,8)
+    cx, cy, cz = row[:, 0], row[:, 1], row[:, 2]
+    r = row[:, 6]
+    mat = row[:, 7].astype(jnp.int32)
+    if tables.has_moving:
+        cx = cx + time * row[:, 3]
+        cy = cy + time * row[:, 4]
+        cz = cz + time * row[:, 5]
+    p = p_ray_at(o, d, t)
+    inv_r = 1.0 / r
+    normal = ((p[0] - cx) * inv_r, (p[1] - cy) * inv_r, (p[2] - cz) * inv_r)
+    if needs_uv:
+        # spherical uv from the (signed) normal (src/sphere.cuh:42-49)
+        theta = jnp.arccos(jnp.clip(-normal[1], -1.0, 1.0))
+        phi = jnp.arctan2(-normal[2], normal[0]) + jnp.pi
+        u = phi / (2.0 * jnp.pi)
+        v = theta / jnp.pi
+    else:
+        u = v = jnp.zeros_like(t)
+    return p, normal, u, v, mat
+
+
+def quad_attributes_p(tables: SceneTables, o, d, t, idx):
+    """(alpha, beta) + ray-facing normal for the winning quad."""
+    from art_tpu.ops.gather import take_rows
+
+    row = take_rows(tables.quad_attr_packed, idx)  # (R,16)
+    p = p_ray_at(o, d, t)
+    pl = (p[0] - row[:, 0], p[1] - row[:, 1], p[2] - row[:, 2])
+    uu = (row[:, 3], row[:, 4], row[:, 5])
+    vv = (row[:, 6], row[:, 7], row[:, 8])
+    ww = (row[:, 9], row[:, 10], row[:, 11])
+    alpha = p_dot(ww, p_cross(pl, vv))
+    beta = p_dot(ww, p_cross(uu, pl))
+    nt = (row[:, 12], row[:, 13], row[:, 14])
+    # shading normal faces against the ray (src/quad.cuh:84-86)
+    flip = p_dot(nt, d) > 0.0
+    normal = p_where(flip, (-nt[0], -nt[1], -nt[2]), nt)
+    return p, normal, alpha, beta, row[:, 15].astype(jnp.int32)
+
+
+def box_attributes_p(tables: SceneTables, o, d, t, idx):
+    """Face normal + the reference's per-face UV (make_box, src/quad.cuh:145-162)."""
+    from art_tpu.ops.gather import take_rows
+
+    row = take_rows(tables.box_packed, idx)  # (R,12)
+    mnx, mny, mnz = row[:, 0], row[:, 1], row[:, 2]
+    mxx, mxy, mxz = row[:, 3], row[:, 4], row[:, 5]
+    cos_t, sin_t = row[:, 6], row[:, 7]
+    offx, offy, offz = row[:, 8], row[:, 9], row[:, 10]
+    mat = row[:, 11].astype(jnp.int32)
+
+    o_obj = p_rotate_y_inv((o[0] - offx, o[1] - offy, o[2] - offz), cos_t, sin_t)
+    d_obj = p_rotate_y_inv(d, cos_t, sin_t)
+
+    # Re-run the per-axis slab to identify entry/exit face.
+    mins = (mnx, mny, mnz)
+    maxs = (mxx, mxy, mxz)
+    t0s, t1s = [], []
+    for axis in range(3):
+        inv = 1.0 / _safe_dir(d_obj[axis])
+        ta = (mins[axis] - o_obj[axis]) * inv
+        tb = (maxs[axis] - o_obj[axis]) * inv
+        t0s.append(jnp.minimum(ta, tb))
+        t1s.append(jnp.maximum(ta, tb))
+    t_entry = jnp.maximum(jnp.maximum(t0s[0], t0s[1]), t0s[2])
+    t_exit = jnp.minimum(jnp.minimum(t1s[0], t1s[1]), t1s[2])
+    # argmax over the 3 entry candidates, planar
+    axis_entry = jnp.where(
+        t0s[0] >= jnp.maximum(t0s[1], t0s[2]), 0,
+        jnp.where(t0s[1] >= t0s[2], 1, 2),
+    )
+    axis_exit = jnp.where(
+        t1s[0] <= jnp.minimum(t1s[1], t1s[2]), 0,
+        jnp.where(t1s[1] <= t1s[2], 1, 2),
+    )
+    is_entry = jnp.abs(t - t_entry) <= jnp.abs(t - t_exit)
+    axis = jnp.where(is_entry, axis_entry, axis_exit)
+
+    ax = axis == 0
+    ay = axis == 1
+    az = axis == 2
+    d_axis = jnp.where(ax, d_obj[0], jnp.where(ay, d_obj[1], d_obj[2]))
+    sgn = jnp.where(d_axis >= 0.0, 1.0, -1.0)
+    n_val = -sgn  # shading normal faces against the ray
+    outward_sgn = jnp.where(is_entry, -sgn, sgn)
+
+    normal_obj = (
+        jnp.where(ax, n_val, 0.0),
+        jnp.where(ay, n_val, 0.0),
+        jnp.where(az, n_val, 0.0),
+    )
+    normal = p_rotate_y(normal_obj, cos_t, sin_t)
+
+    x, y, z = p_ray_at(o_obj, d_obj, t)
+    wx = mxx - mnx
+    wy = mxy - mny
+    wz = mxz - mnz
+    pos_face = outward_sgn > 0.0
+
+    # Face UV per make_box parameterization (src/quad.cuh:154-159).
+    ua = jnp.where(
+        ax,
+        jnp.where(pos_face, (mxz - z) / wz, (z - mnz) / wz),
+        jnp.where(
+            ay,
+            (x - mnx) / wx,
+            jnp.where(pos_face, (x - mnx) / wx, (mxx - x) / wx),
+        ),
+    )
+    va = jnp.where(
+        ax,
+        (y - mny) / wy,
+        jnp.where(
+            ay,
+            jnp.where(pos_face, (mxz - z) / wz, (z - mnz) / wz),
+            (y - mny) / wy,
+        ),
+    )
+
+    p = p_ray_at(o, d, t)
+    return p, normal, ua, va, mat
+
+
+# --------------------------------------------------------------------------
+# Closest surface hit across all segments (planar core)
+# --------------------------------------------------------------------------
+
+def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
+    R = o[0].shape[0]
     # UV coordinates only feed image/uv_offset textures; skip the
     # transcendentals when the scene has none (static specialization).
     needs_uv = bool({2, 6} & set(tables.tex_types_present))
@@ -346,92 +363,100 @@ def closest_surface(tables: SceneTables, o, d, time, t_min) -> HitRecord:
 
     if tables.n_spheres:
         if use_pallas:
-            t_s, idx_s = pk.sphere_closest_hit_pallas(
+            t_s, idx_s = pk.sphere_closest_hit_planar(
                 tables.sph_packed, o, d, time,
                 n_spheres=tables.n_spheres, moving=tables.has_moving,
             )
             idx_s = jnp.maximum(idx_s, 0)
         else:
-            t_s, idx_s = sphere_candidates(tables, o, d, time, t_min)
+            t_s, idx_s = sphere_candidates_p(tables, o, d, time, t_min)
         better = t_s < t_best
         t_best = jnp.where(better, t_s, t_best)
         winner = jnp.where(better, 0, winner)
     if tables.n_quads:
         if use_pallas:
-            t_q, idx_q = pk.quad_closest_hit_pallas(
+            t_q, idx_q = pk.quad_closest_hit_planar(
                 tables.quad_packed, o, d, n_quads=tables.n_quads
             )
             idx_q = jnp.maximum(idx_q, 0)
         else:
-            t_q, idx_q = quad_candidates(tables, o, d, t_min)
+            t_q, idx_q = quad_candidates_p(tables, o, d, t_min)
         better = t_q < t_best
         t_best = jnp.where(better, t_q, t_best)
         winner = jnp.where(better, 1, winner)
     if tables.n_boxes:
         if use_pallas:
-            t_b, idx_b = pk.box_closest_hit_pallas(
+            t_b, idx_b = pk.box_closest_hit_planar(
                 tables.box_packed, o, d,
                 n_boxes=tables.n_boxes, rotated=tables.has_rotated_boxes,
             )
             idx_b = jnp.maximum(idx_b, 0)
         else:
-            t_b, idx_b = box_candidates(tables, o, d, t_min)
+            t_b, idx_b = box_candidates_p(tables, o, d, t_min)
         better = t_b < t_best
         t_best = jnp.where(better, t_b, t_best)
         winner = jnp.where(better, 2, winner)
 
     hit = winner >= 0
-    p = jnp.zeros((R, 3), jnp.float32)
-    normal = jnp.zeros((R, 3), jnp.float32).at[:, 0].set(1.0)
-    uu = jnp.zeros((R,), jnp.float32)
-    vv = jnp.zeros((R,), jnp.float32)
+    zeros = jnp.zeros((R,), jnp.float32)
+    p = (zeros, zeros, zeros)
+    normal = (jnp.ones((R,), jnp.float32), zeros, zeros)
+    uu = zeros
+    vv = zeros
     mat = jnp.zeros((R,), jnp.int32)
 
-    def blend(sel, attrs):
-        nonlocal p, normal, uu, vv, mat
+    def blend(sel, attrs, p, normal, uu, vv, mat):
         p_i, n_i, u_i, v_i, m_i = attrs
-        sel3 = sel[:, None]
-        p = jnp.where(sel3, p_i, p)
-        normal = jnp.where(sel3, n_i, normal)
-        uu = jnp.where(sel, u_i, uu)
-        vv = jnp.where(sel, v_i, vv)
-        mat = jnp.where(sel, m_i, mat)
+        return (
+            p_where(sel, p_i, p),
+            p_where(sel, n_i, normal),
+            jnp.where(sel, u_i, uu),
+            jnp.where(sel, v_i, vv),
+            jnp.where(sel, m_i, mat),
+        )
 
     if tables.n_spheres:
-        blend(
+        p, normal, uu, vv, mat = blend(
             winner == 0,
-            sphere_attributes(tables, o, d, time, t_best, idx_s, needs_uv),
+            sphere_attributes_p(tables, o, d, time, t_best, idx_s, needs_uv),
+            p, normal, uu, vv, mat,
         )
     if tables.n_quads:
-        blend(winner == 1, quad_attributes(tables, o, d, t_best, idx_q))
+        p, normal, uu, vv, mat = blend(
+            winner == 1,
+            quad_attributes_p(tables, o, d, t_best, idx_q),
+            p, normal, uu, vv, mat,
+        )
     if tables.n_boxes:
-        blend(winner == 2, box_attributes(tables, o, d, t_best, idx_b))
+        p, normal, uu, vv, mat = blend(
+            winner == 2,
+            box_attributes_p(tables, o, d, t_best, idx_b),
+            p, normal, uu, vv, mat,
+        )
 
-    return HitRecord(hit=hit, t=t_best, p=p, normal=normal, u=uu, v=vv, mat=mat)
+    return HitRecordP(hit=hit, t=t_best, p=p, normal=normal, u=uu, v=vv, mat=mat)
 
 
 # --------------------------------------------------------------------------
 # Constant media (exponential free-flight in convex boundaries)
 # --------------------------------------------------------------------------
 
-def apply_media(
-    tables: SceneTables, o, d, t_min, surf: HitRecord, u_media: jnp.ndarray
-) -> HitRecord:
+def apply_media_p(
+    tables: SceneTables, o, d, t_min, surf: HitRecordP, u_media: jnp.ndarray
+) -> HitRecordP:
     """Overlay medium scatter events on the surface hit record.
 
     Statistically equivalent to the reference's in-traversal medium sampling
     (src/constant_medium.cuh:36-64): for each medium, the boundary interval
     over (-inf, inf) is clipped to [t_min, t_surface], an exponential
     free-flight distance is drawn, and the closest accepted scatter wins.
-
-    ``u_media`` is a (R, >=n_media) block of U[0,1) samples, one column per
-    medium.
+    ``u_media`` is a (R, >=n_media) block of U[0,1) samples.
     """
     if not tables.n_media:
         return surf
 
-    R = o.shape[0]
-    ray_len = jnp.sqrt(dot(d, d))
+    R = o[0].shape[0]
+    ray_len = jnp.sqrt(p_dot(d, d))
     len_ok = (ray_len > 0.0) & jnp.isfinite(ray_len)
 
     best_t = surf.t
@@ -442,10 +467,10 @@ def apply_media(
         if kind == 0:
             c = tables.med_center[m]
             r = tables.med_radius[m]
-            oc = o - c[None, :]
-            a = dot(d, d)
-            b = dot(oc, d)
-            csq = dot(oc, oc) - r * r
+            oc = (o[0] - c[0], o[1] - c[1], o[2] - c[2])
+            a = p_dot(d, d)
+            b = p_dot(oc, d)
+            csq = p_dot(oc, oc) - r * r
             disc = b * b - a * csq
             s = jnp.sqrt(jnp.maximum(disc, 0.0))
             entry = (-b - s) / a
@@ -455,15 +480,18 @@ def apply_media(
             cos_t = tables.med_cos[m]
             sin_t = tables.med_sin[m]
             off = tables.med_off[m]
-            o_obj = rotate_y_inv(o - off[None, :], cos_t, sin_t)
-            d_obj = rotate_y_inv(d, cos_t, sin_t)
-            inv = 1.0 / _safe_dir(d_obj)
-            ta = (tables.med_min[m][None, :] - o_obj) * inv
-            tb = (tables.med_max[m][None, :] - o_obj) * inv
-            t0 = jnp.minimum(ta, tb)
-            t1 = jnp.maximum(ta, tb)
-            entry = jnp.max(t0, axis=-1)
-            exit_ = jnp.min(t1, axis=-1)
+            o_obj = p_rotate_y_inv(
+                (o[0] - off[0], o[1] - off[1], o[2] - off[2]), cos_t, sin_t
+            )
+            d_obj = p_rotate_y_inv(d, cos_t, sin_t)
+            entry = jnp.full((R,), -BIG, jnp.float32)
+            exit_ = jnp.full((R,), BIG, jnp.float32)
+            for axis in range(3):
+                inv = 1.0 / _safe_dir(d_obj[axis])
+                ta = (tables.med_min[m, axis] - o_obj[axis]) * inv
+                tb = (tables.med_max[m, axis] - o_obj[axis]) * inv
+                entry = jnp.maximum(entry, jnp.minimum(ta, tb))
+                exit_ = jnp.minimum(exit_, jnp.maximum(ta, tb))
             bnd_ok = entry < exit_
 
         # second boundary hit must be separated by 1e-4 (src/constant_medium.cuh:40)
@@ -483,11 +511,12 @@ def apply_media(
         best_med = jnp.where(accept, m, best_med)
 
     in_medium = best_med >= 0
-    p = jnp.where(in_medium[:, None], ray_at(o, d, best_t), surf.p)
-    arb_normal = jnp.zeros((R, 3), jnp.float32).at[:, 0].set(1.0)
-    normal = jnp.where(in_medium[:, None], arb_normal, surf.normal)
+    p = p_where(in_medium, p_ray_at(o, d, best_t), surf.p)
+    ones = jnp.ones((R,), jnp.float32)
+    zeros = jnp.zeros((R,), jnp.float32)
+    normal = p_where(in_medium, (ones, zeros, zeros), surf.normal)
     mat = jnp.where(in_medium, tables.med_mat[jnp.maximum(best_med, 0)], surf.mat)
-    return HitRecord(
+    return HitRecordP(
         hit=surf.hit | in_medium,
         t=best_t,
         p=p,
@@ -496,3 +525,39 @@ def apply_media(
         v=jnp.where(in_medium, 0.0, surf.v),
         mat=mat,
     )
+
+
+# --------------------------------------------------------------------------
+# Array-of-struct wrappers (portable API, used by tests)
+# --------------------------------------------------------------------------
+
+def closest_surface(tables: SceneTables, o, d, time, t_min) -> HitRecord:
+    rec = closest_surface_p(tables, p_unstack(o), p_unstack(d), time, t_min)
+    return _to_aos(rec)
+
+
+def apply_media(tables: SceneTables, o, d, t_min, surf: HitRecord, u_media) -> HitRecord:
+    rec = apply_media_p(
+        tables, p_unstack(o), p_unstack(d), t_min, surf.to_planar(), u_media
+    )
+    return _to_aos(rec)
+
+
+# Back-compat aliases for the AoS candidate/attribute helpers used in tests.
+def sphere_candidates(tables, o, d, time, t_min):
+    return sphere_candidates_p(tables, p_unstack(o), p_unstack(d), time, t_min)
+
+
+def quad_candidates(tables, o, d, t_min):
+    return quad_candidates_p(tables, p_unstack(o), p_unstack(d), t_min)
+
+
+def box_candidates(tables, o, d, t_min):
+    return box_candidates_p(tables, p_unstack(o), p_unstack(d), t_min)
+
+
+def sphere_attributes(tables, o, d, time, t, idx, needs_uv: bool = True):
+    p, n, u, v, m = sphere_attributes_p(
+        tables, p_unstack(o), p_unstack(d), time, t, idx, needs_uv
+    )
+    return p_stack(p), p_stack(n), u, v, m

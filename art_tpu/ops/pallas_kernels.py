@@ -79,11 +79,20 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     idx_ref[:] = best_i
 
 
-@functools.partial(jax.jit, static_argnames=("n_spheres", "moving"))
-def sphere_closest_hit_pallas(
+def _ray_grid(R: int):
+    assert R % RAY_BLOCK == 0, R
+    rows = R // _LANES
+    grid = rows // _SUBLANES
+    spec = pl.BlockSpec(
+        (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return rows, grid, spec
+
+
+def sphere_closest_hit_planar(
     sph_packed: jnp.ndarray,  # (S, 8) [cx cy cz vx vy vz radius pad]
-    o: jnp.ndarray,  # (R, 3)
-    d: jnp.ndarray,  # (R, 3)
+    o,  # 3-tuple of (R,) planes
+    d,  # 3-tuple of (R,) planes
     tm: jnp.ndarray,  # (R,)
     *,
     n_spheres: int,
@@ -91,31 +100,17 @@ def sphere_closest_hit_pallas(
 ):
     """Per-ray closest sphere hit: returns (t (R,), idx (R,)).
 
-    R must be a multiple of RAY_BLOCK (8192).
-    """
-    R = o.shape[0]
-    assert R % RAY_BLOCK == 0, R
-    rows = R // _LANES
-    grid = rows // _SUBLANES
+    R must be a multiple of RAY_BLOCK (8192)."""
+    R = o[0].shape[0]
+    rows, grid, ray_spec = _ray_grid(R)
 
     def plane(x):
         return x.reshape(rows, _LANES)
 
-    comps = (
-        plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
-        plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
-        plane(tm),
-    )
-
-    ray_spec = pl.BlockSpec(
-        (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+    comps = tuple(plane(c) for c in (*o, *d, tm))
     t_out, idx_out = pl.pallas_call(
         functools.partial(
-            _sphere_kernel,
-            n_spheres=n_spheres,
-            t_min=1e-3,
-            moving=moving,
+            _sphere_kernel, n_spheres=n_spheres, t_min=1e-3, moving=moving
         ),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
@@ -128,13 +123,35 @@ def sphere_closest_hit_pallas(
     return t_out.reshape(R), idx_out.reshape(R)
 
 
+@functools.partial(jax.jit, static_argnames=("n_spheres", "moving"))
+def sphere_closest_hit_pallas(
+    sph_packed: jnp.ndarray,
+    o: jnp.ndarray,  # (R, 3)
+    d: jnp.ndarray,  # (R, 3)
+    tm: jnp.ndarray,  # (R,)
+    *,
+    n_spheres: int,
+    moving: bool,
+):
+    """(R,3) wrapper around sphere_closest_hit_planar."""
+    return sphere_closest_hit_planar(
+        sph_packed,
+        (o[:, 0], o[:, 1], o[:, 2]),
+        (d[:, 0], d[:, 1], d[:, 2]),
+        tm,
+        n_spheres=n_spheres,
+        moving=moving,
+    )
+
+
 def pack_spheres(tables) -> jnp.ndarray:
-    """(S, 8) packed sphere table for the kernel."""
+    """(S, 8) packed sphere table: [cx cy cz vx vy vz radius mat]."""
     S = tables.sph_center.shape[0]
     out = jnp.zeros((S, 8), jnp.float32)
     out = out.at[:, 0:3].set(tables.sph_center)
     out = out.at[:, 3:6].set(tables.sph_vel)
     out = out.at[:, 6].set(tables.sph_radius)
+    out = out.at[:, 7].set(tables.sph_mat.astype(jnp.float32))
     return out
 
 
@@ -180,29 +197,20 @@ def _quad_kernel(qd_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     idx_ref[:] = best_i
 
 
-@functools.partial(jax.jit, static_argnames=("n_quads",))
-def quad_closest_hit_pallas(
+def quad_closest_hit_planar(
     qd_packed: jnp.ndarray,  # (Q, 12) [n(3), D, avec(3), ca, bvec(3), cb]
-    o: jnp.ndarray,
-    d: jnp.ndarray,
+    o,  # 3-tuple of (R,) planes
+    d,
     *,
     n_quads: int,
 ):
-    R = o.shape[0]
-    assert R % RAY_BLOCK == 0, R
-    rows = R // _LANES
-    grid = rows // _SUBLANES
+    R = o[0].shape[0]
+    rows, grid, ray_spec = _ray_grid(R)
 
     def plane(x):
         return x.reshape(rows, _LANES)
 
-    comps = (
-        plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
-        plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
-    )
-    ray_spec = pl.BlockSpec(
-        (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+    comps = tuple(plane(c) for c in (*o, *d))
     t_out, idx_out = pl.pallas_call(
         functools.partial(_quad_kernel, n_quads=n_quads, t_min=1e-3),
         grid=(grid,),
@@ -294,30 +302,21 @@ def _box_kernel(bx_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     idx_ref[:] = best_i
 
 
-@functools.partial(jax.jit, static_argnames=("n_boxes", "rotated"))
-def box_closest_hit_pallas(
+def box_closest_hit_planar(
     bx_packed: jnp.ndarray,  # (B, 12) [min(3), max(3), cos, sin, off(3), pad]
-    o: jnp.ndarray,
-    d: jnp.ndarray,
+    o,  # 3-tuple of (R,) planes
+    d,
     *,
     n_boxes: int,
     rotated: bool,
 ):
-    R = o.shape[0]
-    assert R % RAY_BLOCK == 0, R
-    rows = R // _LANES
-    grid = rows // _SUBLANES
+    R = o[0].shape[0]
+    rows, grid, ray_spec = _ray_grid(R)
 
     def plane(x):
         return x.reshape(rows, _LANES)
 
-    comps = (
-        plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
-        plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
-    )
-    ray_spec = pl.BlockSpec(
-        (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+    comps = tuple(plane(c) for c in (*o, *d))
     t_out, idx_out = pl.pallas_call(
         functools.partial(
             _box_kernel, n_boxes=n_boxes, t_min=1e-3, rotated=rotated
@@ -334,6 +333,7 @@ def box_closest_hit_pallas(
 
 
 def pack_boxes(tables) -> jnp.ndarray:
+    """(B, 12) packed box table: [min(3) max(3) cos sin off(3) mat]."""
     B = tables.box_min.shape[0]
     out = jnp.zeros((B, 12), jnp.float32)
     out = out.at[:, 0:3].set(tables.box_min)
@@ -341,4 +341,5 @@ def pack_boxes(tables) -> jnp.ndarray:
     out = out.at[:, 6].set(tables.box_cos)
     out = out.at[:, 7].set(tables.box_sin)
     out = out.at[:, 8:11].set(tables.box_off)
+    out = out.at[:, 11].set(tables.box_mat.astype(jnp.float32))
     return out

@@ -1,4 +1,4 @@
-"""Vectorized texture evaluation over hit batches.
+"""Vectorized texture evaluation over hit batches (component-planar).
 
 Replaces the reference's virtual ``texture::value(u,v,p)`` dispatch
 (reference src/texture.cuh:9-164) with a two-phase masked evaluation:
@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from art_tpu.core.vecmath import p_unstack, p_where
 from art_tpu.ops import perlin
 from art_tpu.scene.tables import SceneTables, TexType
 
@@ -34,83 +35,113 @@ def _smoothstep(edge0, edge1, x):
     return t * t * (3.0 - 2.0 * t)
 
 
-def eval_texture(
+def eval_texture_p(
     tables: SceneTables,
     tex_id: jnp.ndarray,  # (R,) int32
     u: jnp.ndarray,  # (R,)
     v: jnp.ndarray,  # (R,)
-    p: jnp.ndarray,  # (R,3)
-) -> jnp.ndarray:  # (R,3)
+    p,  # 3-tuple of (R,) planes
+):
+    """Returns a 3-tuple of (R,) color planes."""
+    from art_tpu.ops.gather import take_rows
+
     present = set(tables.tex_types_present)
     tex_id = jnp.clip(tex_id, 0, tables.tex_type.shape[0] - 1)
+    px, py, pz = p
+
+    # Packed texture row: [type, p0..p7, child0, child1, img, rgb(3), rgb2(3)]
+    row = take_rows(tables.tex_packed, tex_id)
 
     # ---- phase 1: resolve wrappers to leaves ----
     if TexType.CHECKER in present or TexType.UV_OFFSET in present:
         for _ in range(MAX_TEX_DEPTH):
-            ttype = tables.tex_type[tex_id]
+            ttype = row[:, 0].astype(jnp.int32)
+            new_tex_id = tex_id
             if TexType.CHECKER in present:
-                inv_scale = tables.tex_params[tex_id, 0]
-                lat = jnp.floor(inv_scale[:, None] * p).astype(jnp.int32)
-                is_even = ((lat[:, 0] + lat[:, 1] + lat[:, 2]) & 1) == 0
+                inv_scale = row[:, 1]
+                xi = jnp.floor(inv_scale * px).astype(jnp.int32)
+                yi = jnp.floor(inv_scale * py).astype(jnp.int32)
+                zi = jnp.floor(inv_scale * pz).astype(jnp.int32)
+                is_even = ((xi + yi + zi) & 1) == 0
                 child = jnp.where(
-                    is_even, tables.tex_child[tex_id, 0], tables.tex_child[tex_id, 1]
-                )
+                    is_even, row[:, 9], row[:, 10]
+                ).astype(jnp.int32)
                 is_checker = ttype == TexType.CHECKER
-                tex_id = jnp.where(is_checker, child, tex_id)
+                new_tex_id = jnp.where(is_checker, child, new_tex_id)
             if TexType.UV_OFFSET in present:
-                ttype = tables.tex_type[tex_id] if TexType.CHECKER in present else ttype
-                du = tables.tex_params[tex_id, 0]
-                dv = tables.tex_params[tex_id, 1]
+                du = row[:, 1]
+                dv = row[:, 2]
                 is_off = ttype == TexType.UV_OFFSET
                 uu = u + du
                 uu = uu - jnp.floor(uu)  # wrap to [0,1)
                 vv = jnp.clip(v + dv, 0.0, 1.0)
                 u = jnp.where(is_off, uu, u)
                 v = jnp.where(is_off, vv, v)
-                tex_id = jnp.where(is_off, tables.tex_child[tex_id, 0], tex_id)
+                new_tex_id = jnp.where(
+                    is_off, row[:, 9].astype(jnp.int32), new_tex_id
+                )
+            tex_id = new_tex_id
+            row = take_rows(tables.tex_packed, tex_id)
 
     # ---- phase 2: leaf evaluation ----
-    ttype = tables.tex_type[tex_id]
-    out = tables.tex_rgb[tex_id]  # SOLID default (also felt base / fallthrough)
+    ttype = row[:, 0].astype(jnp.int32)
+    out = (row[:, 12], row[:, 13], row[:, 14])  # SOLID default (rgb)
 
     if TexType.IMAGE in present:
-        img_val = tables.atlas.sample(tables.tex_img[tex_id], u, v)
-        out = jnp.where((ttype == TexType.IMAGE)[:, None], img_val, out)
+        img_val = tables.atlas.sample(row[:, 11].astype(jnp.int32), u, v)
+        out = p_where(
+            ttype == TexType.IMAGE,
+            (img_val[:, 0], img_val[:, 1], img_val[:, 2]),
+            out,
+        )
 
     needs_turb = present & {TexType.NOISE, TexType.NOODLE, TexType.FELT}
     if needs_turb:
         if TexType.NOISE in present:
             # marble: 0.5*(1 + sin(scale*z + 10*turb(p,7)))  (src/texture.cuh:67-71)
-            scale = tables.tex_params[tex_id, 0]
-            tb = perlin.turb(p, _TURB_MAX)
-            s = jnp.sin(scale * p[:, 2] + 10.0 * tb)
-            t = 0.5 * (1.0 + s)
-            out = jnp.where((ttype == TexType.NOISE)[:, None], t[:, None], out)
+            scale = row[:, 1]
+            tb = perlin.turb_p(px, py, pz, _TURB_MAX)
+            t = 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * tb))
+            out = p_where(ttype == TexType.NOISE, (t, t, t), out)
 
         if TexType.NOODLE in present:
             # warped stripes (src/texture.cuh:94-100); params = [k, A, f, oct, dx, dy, dz]
-            prm = tables.tex_params[tex_id]
-            k, amp, f = prm[:, 0], prm[:, 1], prm[:, 2]
-            oct = prm[:, 3].astype(jnp.int32)
-            d = prm[:, 4:7]
-            un = jnp.sum(p * d, axis=-1)
-            wig = perlin.turb(p * f[:, None], _TURB_MAX, depth_mask=oct)
+            k, amp, f = row[:, 1], row[:, 2], row[:, 3]
+            oct = row[:, 4].astype(jnp.int32)
+            un = px * row[:, 5] + py * row[:, 6] + pz * row[:, 7]
+            wig = perlin.turb_p(px * f, py * f, pz * f, _TURB_MAX, depth_mask=oct)
             stripes = jnp.abs(jnp.sin(k * un + amp * wig))
             t = _smoothstep(0.75, 0.98, stripes)
-            col = (1.0 - t)[:, None] * tables.tex_rgb2[tex_id] + t[:, None] * tables.tex_rgb[tex_id]
-            out = jnp.where((ttype == TexType.NOODLE)[:, None], col, out)
+            col = (
+                (1.0 - t) * row[:, 15] + t * row[:, 12],
+                (1.0 - t) * row[:, 16] + t * row[:, 13],
+                (1.0 - t) * row[:, 17] + t * row[:, 14],
+            )
+            out = p_where(ttype == TexType.NOODLE, col, out)
 
         if TexType.FELT in present:
             # mottling + directional fibers (src/texture.cuh:122-141);
             # params = [m_scale, m_amt, f_scale, f_amt]
-            prm = tables.tex_params[tex_id]
-            m_scale, m_amt, f_scale, f_amt = prm[:, 0], prm[:, 1], prm[:, 2], prm[:, 3]
-            m = perlin.noise(p * m_scale[:, None])
-            phase = p[:, 0] * f_scale + 2.0 * perlin.turb(p * 0.5, 2)
+            m_scale, m_amt = row[:, 1], row[:, 2]
+            f_scale, f_amt = row[:, 3], row[:, 4]
+            m = perlin.noise_p(px * m_scale, py * m_scale, pz * m_scale)
+            phase = px * f_scale + 2.0 * perlin.turb_p(px * 0.5, py * 0.5, pz * 0.5, 2)
             fibers = 0.5 * (1.0 + jnp.sin(phase))
             gain = 1.0 + m_amt * (m - 0.5) + f_amt * (fibers - 0.5)
             gain = jnp.clip(gain, 0.7, 1.2)
-            col = tables.tex_rgb[tex_id] * gain[:, None]
-            out = jnp.where((ttype == TexType.FELT)[:, None], col, out)
+            col = (row[:, 12] * gain, row[:, 13] * gain, row[:, 14] * gain)
+            out = p_where(ttype == TexType.FELT, col, out)
 
     return out
+
+
+def eval_texture(
+    tables: SceneTables,
+    tex_id: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    p: jnp.ndarray,  # (R,3)
+) -> jnp.ndarray:  # (R,3)
+    """Array-of-struct wrapper (portable API, used by tests)."""
+    out = eval_texture_p(tables, tex_id, u, v, p_unstack(p))
+    return jnp.stack(out, axis=-1)

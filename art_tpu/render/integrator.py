@@ -1,4 +1,4 @@
-"""Wavefront path-tracing integrators.
+"""Wavefront path-tracing integrators (component-planar hot path).
 
 Two entry points, both pure functions of a threefry seed:
 
@@ -7,14 +7,18 @@ Two entry points, both pure functions of a threefry seed:
   ``color()`` loop (src/main.cu:44-87); used for tests and ad-hoc rays.
 
 * ``render_wavefront`` — the production path: a **persistent ray pool with
-  queue refill**.  The reference dedicates one CUDA thread per pixel for its
-  whole sample loop (src/main.cu:107-133), which on a vector machine would
-  leave most lanes dead while the deepest path finishes.  Here a fixed pool
-  of R slots is kept saturated: every iteration, slots whose ray terminated
-  are refilled with fresh camera rays from the (pixel x sample) queue and
-  their radiance is scatter-added into the framebuffer.  Occupancy stays
-  ~100% until the queue drains, so total cost is proportional to the number
-  of *actual* ray segments rather than (batch x max-depth).
+  global work-stealing queue refill**.  The reference dedicates one CUDA
+  thread per pixel for its whole sample loop (src/main.cu:107-133), which
+  on a vector machine would leave most lanes dead while the deepest path
+  finishes.  Here a fixed pool of R slots is kept saturated: every
+  iteration, slots whose ray terminated claim the next (pixel, sample)
+  queue elements (rank = prefix sum of the dead mask — no slot can become a
+  straggler) and dead-ray radiance is scatter-added into the framebuffer.
+
+All per-ray vector state lives as component planes ((R,) per component):
+TPU maps the last axis onto 128 lanes, so (R, 3) state would waste 125/128
+lanes of every elementwise op; planes keep the VPU and HBM at full width
+and match the Pallas kernel layout exactly.
 
 Randomness: one fused uniform block per iteration, derived from
 ``fold(key, iteration)`` — every (slot, iteration, site) triple is used at
@@ -29,17 +33,19 @@ import jax
 import jax.numpy as jnp
 
 from art_tpu.core import rng as artrng
-from art_tpu.core.camera import Camera, rays_from_uniforms
-from art_tpu.core.vecmath import T_MIN, unit_vector
-from art_tpu.ops.intersect import apply_media, closest_surface
-from art_tpu.ops.shade import shade
+from art_tpu.core.camera import Camera, rays_from_uniforms_p
+from art_tpu.core.vecmath import T_MIN, p_mul, p_scale, p_unstack, p_where
+from art_tpu.ops.intersect import apply_media_p, closest_surface_p
+from art_tpu.ops.shade import shade_p
 from art_tpu.scene.tables import SceneTables
 
 # uniform-block column layout (per iteration)
 _U_BALL = slice(0, 3)
 _U_CHOICE = 3
-_U_JITTER = slice(4, 6)
-_U_LENS = slice(6, 8)
+_U_JITTER0 = 4
+_U_JITTER1 = 5
+_U_LENS0 = 6
+_U_LENS1 = 7
 _U_TIME = 8
 _U_MEDIA = 9  # columns 9.. are per-medium
 
@@ -48,39 +54,81 @@ def _n_uniform_cols(tables: SceneTables) -> int:
     return _U_MEDIA + max(tables.n_media, 1)
 
 
-def background_color(d: jnp.ndarray, bg: jnp.ndarray, gradient: bool) -> jnp.ndarray:
-    """Solid or y-gradient sky (reference src/main.cu:58-67)."""
+def background_color_p(d, bg: jnp.ndarray, gradient: bool):
+    """Solid or y-gradient sky (reference src/main.cu:58-67), planar."""
+    shape = d[0].shape
     if not gradient:
-        return jnp.broadcast_to(bg[None, :], (d.shape[0], 3))
-    ud = unit_vector(d)
-    t = 0.5 * (ud[:, 1] + 1.0)
-    white = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)
-    blue = jnp.asarray([0.5, 0.7, 1.0], jnp.float32)
-    return (1.0 - t)[:, None] * white[None, :] + t[:, None] * blue[None, :]
+        return tuple(jnp.broadcast_to(bg[c], shape) for c in range(3))
+    inv_len = 1.0 / jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    t = 0.5 * (d[1] * inv_len + 1.0)
+    # (1-t)*white + t*blue
+    return (1.0 - 0.5 * t, 1.0 - 0.3 * t, jnp.broadcast_to(jnp.float32(1.0), shape))
+
+
+def background_color(d: jnp.ndarray, bg: jnp.ndarray, gradient: bool) -> jnp.ndarray:
+    return jnp.stack(background_color_p(p_unstack(d), bg, gradient), axis=-1)
+
+
+_DBG = __import__("os").environ.get("ART_TPU_DBG", "")
 
 
 def _bounce_step(tables, o, d, tm, throughput, radiance, active, U, background, gradient_bg):
     """One shared bounce: intersect -> media -> background/emission -> scatter.
 
-    Returns (new_o, new_d, new_throughput, new_radiance, survived) where
-    ``survived`` is the subset of ``active`` whose ray scattered on.
-    """
-    surf = closest_surface(tables, o, d, tm, T_MIN)
-    rec = apply_media(tables, o, d, T_MIN, surf, U[:, _U_MEDIA:])
+    All vector quantities are 3-tuples of (R,) planes.  Returns
+    (new_o, new_d, new_throughput, new_radiance, survived)."""
+    if "fake_intersect" in _DBG:  # perf-debug: dependency-preserving stub
+        from art_tpu.ops.intersect import HitRecordP
+        from art_tpu.core.vecmath import p_ray_at, p_unit
 
-    bg = background_color(d, background, gradient_bg)
+        t5 = jnp.abs(d[0]) + 5.0
+        rec = HitRecordP(
+            hit=active,
+            t=t5,
+            p=p_ray_at(o, d, t5),
+            normal=p_unit((-d[0], -d[1], -d[2])),
+            u=tm * 0.0,
+            v=tm * 0.0,
+            mat=jnp.zeros_like(active, dtype=jnp.int32),
+        )
+    else:
+        surf = closest_surface_p(tables, o, d, tm, T_MIN)
+        rec = apply_media_p(tables, o, d, T_MIN, surf, U[:, _U_MEDIA:])
+
+    bg = background_color_p(d, background, gradient_bg)
     miss = active & ~rec.hit
-    radiance = radiance + jnp.where(miss[:, None], throughput * bg, 0.0)
+    radiance = tuple(
+        radiance[c] + jnp.where(miss, throughput[c] * bg[c], 0.0) for c in range(3)
+    )
 
     live_hit = active & rec.hit
-    sc = shade(tables, d, rec, U[:, _U_BALL], U[:, _U_CHOICE])
+    if "fake_shade" in _DBG:  # perf-debug: dependency-preserving stub
+        from art_tpu.core.vecmath import p_reflect
+        from art_tpu.ops.shade import ScatterResultP
 
-    radiance = radiance + jnp.where(live_hit[:, None], throughput * sc.emitted, 0.0)
+        nd = p_reflect(d, rec.normal)
+        z = jnp.zeros_like(rec.t)
+        sc = ScatterResultP(
+            emitted=(z, z, z),
+            attenuation=(z + 0.9, z + 0.9, z + 0.9),
+            direction=nd,
+            scattered=rec.hit & (U[:, _U_CHOICE] < 0.7),
+        )
+    else:
+        sc = shade_p(
+            tables, d, rec,
+            (U[:, 0], U[:, 1], U[:, 2]), U[:, _U_CHOICE],
+        )
+
+    radiance = tuple(
+        radiance[c] + jnp.where(live_hit, throughput[c] * sc.emitted[c], 0.0)
+        for c in range(3)
+    )
 
     survived = live_hit & sc.scattered
-    throughput = jnp.where(survived[:, None], throughput * sc.attenuation, throughput)
-    o = jnp.where(survived[:, None], rec.p, o)
-    d = jnp.where(survived[:, None], sc.direction, d)
+    throughput = p_where(survived, p_mul(throughput, sc.attenuation), throughput)
+    o = p_where(survived, rec.p, o)
+    d = p_where(survived, sc.direction, d)
     return o, d, throughput, radiance, survived
 
 
@@ -91,19 +139,19 @@ def _bounce_step(tables, o, d, tm, throughput, radiance, active, U, background, 
 
 class _TraceState(NamedTuple):
     bounce: jnp.ndarray
-    origin: jnp.ndarray
-    direction: jnp.ndarray
+    origin: tuple
+    direction: tuple
     time: jnp.ndarray
-    throughput: jnp.ndarray
-    radiance: jnp.ndarray
+    throughput: tuple
+    radiance: tuple
     alive: jnp.ndarray
     rays_traced: jnp.ndarray
 
 
 def trace(
     tables: SceneTables,
-    origins: jnp.ndarray,
-    directions: jnp.ndarray,
+    origins: jnp.ndarray,  # (R,3)
+    directions: jnp.ndarray,  # (R,3)
     times: jnp.ndarray,
     key: jax.Array,
     background: jnp.ndarray,
@@ -113,13 +161,15 @@ def trace(
     """Trace a ray batch to completion; returns (radiance (R,3), rays_traced ())."""
     R = origins.shape[0]
     ncols = _n_uniform_cols(tables)
+    ones = jnp.ones((R,), jnp.float32)
+    zeros = jnp.zeros((R,), jnp.float32)
     state = _TraceState(
         bounce=jnp.int32(0),
-        origin=origins,
-        direction=directions,
+        origin=p_unstack(origins),
+        direction=p_unstack(directions),
         time=times,
-        throughput=jnp.ones((R, 3), jnp.float32),
-        radiance=jnp.zeros((R, 3), jnp.float32),
+        throughput=(ones, ones, ones),
+        radiance=(zeros, zeros, zeros),
         alive=jnp.ones((R,), bool),
         rays_traced=jnp.float32(0.0),
     )
@@ -145,7 +195,7 @@ def trace(
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    return final.radiance, final.rays_traced
+    return jnp.stack(final.radiance, axis=-1), final.rays_traced
 
 
 # ---------------------------------------------------------------------------
@@ -156,11 +206,11 @@ def trace(
 class _PoolState(NamedTuple):
     it: jnp.ndarray  # () int32 iteration counter (keys the RNG block)
     next_q: jnp.ndarray  # () int32 global queue head
-    o: jnp.ndarray  # (R,3)
-    d: jnp.ndarray  # (R,3)
+    o: tuple  # 3 x (R,)
+    d: tuple  # 3 x (R,)
     tm: jnp.ndarray  # (R,)
-    throughput: jnp.ndarray  # (R,3)
-    radiance: jnp.ndarray  # (R,3)
+    throughput: tuple  # 3 x (R,)
+    radiance: tuple  # 3 x (R,)
     bounce: jnp.ndarray  # (R,) int32
     pix: jnp.ndarray  # (R,) int32 destination row in fb
     active: jnp.ndarray  # (R,) bool
@@ -186,16 +236,8 @@ def render_wavefront(
 ):
     """Render tile_pixels x spp samples with a persistent R-slot ray pool.
 
-    Refill is a *global work-stealing queue*: every iteration, dead slots
-    claim the next contiguous queue elements (rank = exclusive prefix sum of
-    the dead mask), so no slot can become a straggler — any free lane
-    immediately picks up the next (pixel, sample) regardless of which pixel
-    it belongs to.  (A per-slot strided partition was tried and rejected:
-    residue classes rich in deep glass paths serialized the whole pool.)
-
     Returns (fb_sum (tile_pixels,3) — radiance *summed* over spp,
-    rays_traced ()).
-    """
+    rays_traced (), iterations ())."""
     P = tile_pixels
     R = n_slots
     n_q = P * spp
@@ -203,14 +245,16 @@ def render_wavefront(
     # Safety bound: every queue element costs <= max_depth iterations.
     max_iters = (n_q * max_depth) // R + max_depth + 2
 
+    ones = jnp.ones((R,), jnp.float32)
+    zeros = jnp.zeros((R,), jnp.float32)
     state = _PoolState(
         it=jnp.int32(0),
         next_q=jnp.int32(0),
-        o=jnp.zeros((R, 3), jnp.float32),
-        d=jnp.zeros((R, 3), jnp.float32).at[:, 2].set(1.0),
-        tm=jnp.zeros((R,), jnp.float32),
-        throughput=jnp.ones((R, 3), jnp.float32),
-        radiance=jnp.zeros((R, 3), jnp.float32),
+        o=(zeros, zeros, zeros),
+        d=(zeros, zeros, ones),
+        tm=zeros,
+        throughput=(ones, ones, ones),
+        radiance=(zeros, zeros, zeros),
         bounce=jnp.zeros((R,), jnp.int32),
         pix=jnp.zeros((R,), jnp.int32),
         active=jnp.zeros((R,), bool),
@@ -234,18 +278,17 @@ def render_wavefront(
         pixel = jnp.minimum(pix_offset + p_row, total_pixels - 1)
         i = (pixel % nx).astype(jnp.float32)
         j = (pixel // nx).astype(jnp.float32)
-        s = (i + U[:, _U_JITTER][:, 0]) / nx
-        t = (j + U[:, _U_JITTER][:, 1]) / ny
-        o_new, d_new, tm_new = rays_from_uniforms(
-            cam, s, t, U[:, _U_LENS], U[:, _U_TIME]
+        s = (i + U[:, _U_JITTER0]) / nx
+        t = (j + U[:, _U_JITTER1]) / ny
+        o_new, d_new, tm_new = rays_from_uniforms_p(
+            cam, s, t, U[:, _U_LENS0], U[:, _U_LENS1], U[:, _U_TIME]
         )
 
-        take3 = take[:, None]
-        o = jnp.where(take3, o_new, st.o)
-        d = jnp.where(take3, d_new, st.d)
+        o = p_where(take, o_new, st.o)
+        d = p_where(take, d_new, st.d)
         tm = jnp.where(take, tm_new, st.tm)
-        throughput = jnp.where(take3, 1.0, st.throughput)
-        radiance = jnp.where(take3, 0.0, st.radiance)
+        throughput = p_where(take, (ones, ones, ones), st.throughput)
+        radiance = p_where(take, (zeros, zeros, zeros), st.radiance)
         bounce = jnp.where(take, 0, st.bounce)
         pix = jnp.where(take, p_row, st.pix)
         active = st.active | take
@@ -262,7 +305,15 @@ def render_wavefront(
 
         # ---- flush newly-terminated rays to the framebuffer ----
         died = active & ~still_alive
-        fb = st.fb.at[pix].add(jnp.where(died[:, None], radiance, 0.0))
+        import os as _os
+
+        if _os.environ.get("ART_TPU_NO_FLUSH"):  # perf-debug only: wrong image
+            fb = st.fb.at[0, 0].add(jnp.sum(jnp.where(died, radiance[0], 0.0)))
+        else:
+            flush = jnp.stack(
+                [jnp.where(died, radiance[c], 0.0) for c in range(3)], axis=-1
+            )
+            fb = st.fb.at[pix].add(flush)
 
         return _PoolState(
             it=st.it + 1,

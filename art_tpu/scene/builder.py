@@ -111,6 +111,12 @@ class _Compiler:
         self._mat_ids: dict[int, int] = {}
         self._tex_ids: dict[int, int] = {}
         self._img_ids: dict[int, int] = {}
+        # value-dedup maps: identical parameter rows share one table row so
+        # the per-ray lookup tables stay small enough for one-hot MXU
+        # fetches (e.g. bouncing_spheres builds 488 material instances from
+        # ~10 distinct parameter sets)
+        self._mat_rows: dict[tuple, int] = {}
+        self._tex_rows: dict[tuple, int] = {}
 
     # -- textures --
     def tex_id(self, tex: X.Texture) -> int:
@@ -125,11 +131,6 @@ class _Compiler:
             child=(0, 0),
             img=0,
         )
-        # Reserve the slot first so self-referential graphs fail loudly rather
-        # than recursing forever.
-        idx = len(self.texs)
-        self.texs.append(row)
-        self._tex_ids[key] = idx
 
         if isinstance(tex, X.SolidColor):
             row["type"] = int(TexType.SOLID)
@@ -173,6 +174,18 @@ class _Compiler:
             row["child"] = (self.tex_id(tex.base), 0)
         else:
             raise TypeError(f"unknown texture type: {type(tex)!r}")
+
+        content = (
+            row["type"], row["rgb"], row["rgb2"], tuple(row["params"]),
+            row["child"], row["img"],
+        )
+        if content in self._tex_rows:
+            idx = self._tex_rows[content]
+        else:
+            idx = len(self.texs)
+            self.texs.append(row)
+            self._tex_rows[content] = idx
+        self._tex_ids[key] = idx
         return idx
 
     def img_id(self, image) -> int:
@@ -216,8 +229,14 @@ class _Compiler:
             row["tex"] = self.tex_id(mat.texture)
         else:
             raise TypeError(f"unknown material type: {type(mat)!r}")
-        idx = len(self.mats)
-        self.mats.append(row)
+
+        content = (row["type"], row["tex"], row["rgb"], row["fuzz"], row["ref_idx"])
+        if content in self._mat_rows:
+            idx = self._mat_rows[content]
+        else:
+            idx = len(self.mats)
+            self.mats.append(row)
+            self._mat_rows[content] = idx
         self._mat_ids[key] = idx
         return idx
 
@@ -400,6 +419,35 @@ class _Compiler:
             )
         if self.images:
             t.update(atlas=ImageAtlas.pack(self.images))
+
+        # Row-packed lookup tables (single fetch per bounce, ops/gather.py).
+        mat_packed = np.zeros((len(self.mats), 8), f32)
+        for i, m in enumerate(self.mats):
+            mat_packed[i] = [
+                m["type"], m["tex"], m["fuzz"], m["ref_idx"], *m["rgb"], 0.0
+            ]
+        t["mat_packed"] = jnp.asarray(mat_packed)
+
+        if self.texs:
+            tex_packed = np.zeros((len(self.texs), 18), f32)
+            for i, x in enumerate(self.texs):
+                tex_packed[i] = [
+                    x["type"], *x["params"], *x["child"], x["img"],
+                    *x["rgb"], *x["rgb2"],
+                ]
+            t["tex_packed"] = jnp.asarray(tex_packed)
+
+        if self.quads:
+            qa = np.zeros((len(self.quads), 16), np.float64)
+            for i, (q, u, v, mid, _inward) in enumerate(self.quads):
+                # w and normal recomputed the same way as the main table
+                n = np.cross(u, v)
+                nn = float(np.dot(n, n))
+                normal = n / np.sqrt(nn)
+                if _inward:
+                    normal = -normal
+                qa[i] = [*q, *u, *v, *(n / nn), *normal, mid]
+            t["quad_attr_packed"] = jnp.asarray(qa, f32)
 
         tables = SceneTables(**t)
         # Kernel-packed copies for the Pallas intersection path.

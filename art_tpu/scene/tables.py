@@ -126,9 +126,13 @@ class SceneTables:
     atlas: ImageAtlas
 
     # ---- kernel-packed copies (built once at compile; see ops/pallas_kernels) ----
-    sph_packed: jnp.ndarray  # (S, 8)
+    sph_packed: jnp.ndarray  # (S, 8)  [cx cy cz vx vy vz radius mat]
     quad_packed: jnp.ndarray  # (Q, 12)
     box_packed: jnp.ndarray  # (B, 12)
+    # ---- row-packed lookup tables (one fetch per bounce; see ops/gather) ----
+    mat_packed: jnp.ndarray  # (M, 8)  [type tex fuzz ref_idx r g b mat?]
+    tex_packed: jnp.ndarray  # (T, 18) [type p0..p7 child0 child1 img rgb(3) rgb2(3)]
+    quad_attr_packed: jnp.ndarray  # (Q, 16) [q(3) u(3) v(3) w(3) n(3) mat]
 
     # ---- static metadata (specializes the compiled trace per scene) ----
     n_spheres: int = _static()
@@ -194,6 +198,9 @@ def empty_tables() -> dict:
         sph_packed=_z((1, 8)),
         quad_packed=_z((1, 12)),
         box_packed=_z((1, 12)),
+        mat_packed=_z((1, 8)),
+        tex_packed=_z((1, 18)),
+        quad_attr_packed=_z((1, 16)),
         n_spheres=0,
         n_quads=0,
         n_boxes=0,

@@ -47,8 +47,9 @@ def test_checker_parity():
     # scale=1 -> inv_scale=1; parity of floor(x)+floor(y)+floor(z)
     tex = Checker(1.0, SolidColor((1, 1, 1)), SolidColor((0, 0, 0)))
     t = _tables(tex)
+    tex_id = int(np.argmax(np.asarray(t.tex_type) == 1))  # CHECKER row
     pts = [[0.5, 0.5, 0.5], [1.5, 0.5, 0.5], [1.5, 1.5, 0.5], [-0.5, 0.5, 0.5]]
-    out = _eval(t, 0, [0] * 4, [0] * 4, pts)
+    out = _eval(t, tex_id, [0] * 4, [0] * 4, pts)
     # sums of floors: 0 (even), 1 (odd), 2 (even), -1 (odd)
     np.testing.assert_allclose(out[:, 0], [1, 0, 1, 0], atol=1e-6)
 
