@@ -239,7 +239,7 @@ def sphere_attributes_p(tables: SceneTables, o, d, time, t, idx, needs_uv: bool)
         v = theta / jnp.pi
     else:
         u = v = jnp.zeros_like(t)
-    return p, normal, u, v, mat
+    return normal, u, v, mat
 
 
 def quad_attributes_p(tables: SceneTables, o, d, t, idx):
@@ -258,7 +258,7 @@ def quad_attributes_p(tables: SceneTables, o, d, t, idx):
     # shading normal faces against the ray (src/quad.cuh:84-86)
     flip = p_dot(nt, d) > 0.0
     normal = p_where(flip, (-nt[0], -nt[1], -nt[2]), nt)
-    return p, normal, alpha, beta, row[:, 15].astype(jnp.int32)
+    return normal, alpha, beta, row[:, 15].astype(jnp.int32)
 
 
 def box_attributes_p(tables: SceneTables, o, d, t, idx):
@@ -340,8 +340,7 @@ def box_attributes_p(tables: SceneTables, o, d, t, idx):
         ),
     )
 
-    p = p_ray_at(o, d, t)
-    return p, normal, ua, va, mat
+    return normal, ua, va, mat
 
 
 # --------------------------------------------------------------------------
@@ -355,7 +354,9 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
     needs_uv = bool({2, 6} & set(tables.tex_types_present))
     t_best = jnp.full((R,), BIG, jnp.float32)
     winner = jnp.full((R,), -1, jnp.int32)  # 0=sphere 1=quad 2=box
-    idx_s = idx_q = idx_b = jnp.zeros((R,), jnp.int32)
+    idx_q = idx_b = jnp.zeros((R,), jnp.int32)
+    sph_attrs = None  # (normal, u, v, mat) straight from the sphere kernel
+    idx_s = None
 
     use_pallas = _use_pallas(R)
     if use_pallas:
@@ -363,11 +364,13 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
 
     if tables.n_spheres:
         if use_pallas:
-            t_s, idx_s = pk.sphere_closest_hit_planar(
+            # Winner attributes come out of the kernel — no table gather.
+            t_s, n_s, u_s, v_s, m_s = pk.sphere_hit_attrs_planar(
                 tables.sph_packed, o, d, time,
                 n_spheres=tables.n_spheres, moving=tables.has_moving,
+                needs_uv=needs_uv,
             )
-            idx_s = jnp.maximum(idx_s, 0)
+            sph_attrs = (n_s, u_s, v_s, m_s)
         else:
             t_s, idx_s = sphere_candidates_p(tables, o, d, time, t_min)
         better = t_s < t_best
@@ -398,17 +401,17 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
         winner = jnp.where(better, 2, winner)
 
     hit = winner >= 0
+    # Hit point is o + t*d for every surface type: computed once.
+    p = p_ray_at(o, d, t_best)
     zeros = jnp.zeros((R,), jnp.float32)
-    p = (zeros, zeros, zeros)
     normal = (jnp.ones((R,), jnp.float32), zeros, zeros)
     uu = zeros
     vv = zeros
     mat = jnp.zeros((R,), jnp.int32)
 
-    def blend(sel, attrs, p, normal, uu, vv, mat):
-        p_i, n_i, u_i, v_i, m_i = attrs
+    def blend(sel, attrs, normal, uu, vv, mat):
+        n_i, u_i, v_i, m_i = attrs
         return (
-            p_where(sel, p_i, p),
             p_where(sel, n_i, normal),
             jnp.where(sel, u_i, uu),
             jnp.where(sel, v_i, vv),
@@ -416,22 +419,21 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
         )
 
     if tables.n_spheres:
-        p, normal, uu, vv, mat = blend(
-            winner == 0,
-            sphere_attributes_p(tables, o, d, time, t_best, idx_s, needs_uv),
-            p, normal, uu, vv, mat,
+        attrs = sph_attrs if sph_attrs is not None else sphere_attributes_p(
+            tables, o, d, time, t_best, idx_s, needs_uv
         )
+        normal, uu, vv, mat = blend(winner == 0, attrs, normal, uu, vv, mat)
     if tables.n_quads:
-        p, normal, uu, vv, mat = blend(
+        normal, uu, vv, mat = blend(
             winner == 1,
             quad_attributes_p(tables, o, d, t_best, idx_q),
-            p, normal, uu, vv, mat,
+            normal, uu, vv, mat,
         )
     if tables.n_boxes:
-        p, normal, uu, vv, mat = blend(
+        normal, uu, vv, mat = blend(
             winner == 2,
             box_attributes_p(tables, o, d, t_best, idx_b),
-            p, normal, uu, vv, mat,
+            normal, uu, vv, mat,
         )
 
     return HitRecordP(hit=hit, t=t_best, p=p, normal=normal, u=uu, v=vv, mat=mat)
@@ -557,7 +559,6 @@ def box_candidates(tables, o, d, t_min):
 
 
 def sphere_attributes(tables, o, d, time, t, idx, needs_uv: bool = True):
-    p, n, u, v, m = sphere_attributes_p(
-        tables, p_unstack(o), p_unstack(d), time, t, idx, needs_uv
-    )
-    return p_stack(p), p_stack(n), u, v, m
+    op, dp = p_unstack(o), p_unstack(d)
+    n, u, v, m = sphere_attributes_p(tables, op, dp, time, t, idx, needs_uv)
+    return p_stack(p_ray_at(op, dp, t)), p_stack(n), u, v, m

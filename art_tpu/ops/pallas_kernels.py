@@ -32,8 +32,16 @@ RAY_BLOCK = _SUBLANES * _LANES
 
 
 def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                   tm_ref, t_ref, idx_ref, *, n_spheres: int, t_min: float,
-                   moving: bool):
+                   tm_ref, t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref,
+                   mat_ref, *, n_spheres: int, t_min: float, moving: bool,
+                   needs_uv: bool):
+    """Closest sphere hit with winner attributes computed in-kernel.
+
+    Carrying the winning sphere's (time-evaluated) center/radius/material
+    through the min-update lets the kernel emit the shading normal, UV and
+    material id directly — avoiding a slow per-ray HBM gather over the
+    sphere table afterwards (reference normal math: src/sphere.cuh:69-86).
+    """
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     tm = tm_ref[:]
@@ -41,15 +49,21 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     a = dx * dx + dy * dy + dz * dz
     inv_a = 1.0 / a
 
-    init_t = jnp.full(ox.shape, BIG, jnp.float32)
-    init_i = jnp.full(ox.shape, -1, jnp.int32)
+    zeros = jnp.zeros(ox.shape, jnp.float32)
+    init = (
+        jnp.full(ox.shape, BIG, jnp.float32),  # t
+        zeros, zeros, zeros,  # center at ray time
+        jnp.full(ox.shape, 1.0, jnp.float32),  # radius
+        zeros,  # material id (as f32)
+    )
 
     def body(s, carry):
-        best_t, best_i = carry
+        best_t, bcx, bcy, bcz, br, bm = carry
         cx = sph_ref[s, 0]
         cy = sph_ref[s, 1]
         cz = sph_ref[s, 2]
         r = sph_ref[s, 6]
+        m = sph_ref[s, 7]
         if moving:
             cx = cx + tm * sph_ref[s, 3]
             cy = cy + tm * sph_ref[s, 4]
@@ -71,12 +85,34 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         )
         better = t < best_t
         best_t = jnp.where(better, t, best_t)
-        best_i = jnp.where(better, s, best_i)
-        return best_t, best_i
+        bcx = jnp.where(better, cx, bcx)
+        bcy = jnp.where(better, cy, bcy)
+        bcz = jnp.where(better, cz, bcz)
+        br = jnp.where(better, r, br)
+        bm = jnp.where(better, m, bm)
+        return best_t, bcx, bcy, bcz, br, bm
 
-    best_t, best_i = jax.lax.fori_loop(0, n_spheres, body, (init_t, init_i))
+    best_t, bcx, bcy, bcz, br, bm = jax.lax.fori_loop(0, n_spheres, body, init)
+
+    # winner attributes (src/sphere.cuh:69-86); garbage on miss lanes, which
+    # the caller blends out by hit mask
+    inv_r = 1.0 / br
+    nx = (ox + best_t * dx - bcx) * inv_r
+    ny = (oy + best_t * dy - bcy) * inv_r
+    nz = (oz + best_t * dz - bcz) * inv_r
     t_ref[:] = best_t
-    idx_ref[:] = best_i
+    nx_ref[:] = nx
+    ny_ref[:] = ny
+    nz_ref[:] = nz
+    mat_ref[:] = bm.astype(jnp.int32)
+    if needs_uv:
+        theta = jnp.arccos(jnp.clip(-ny, -1.0, 1.0))
+        phi = jnp.arctan2(-nz, nx) + jnp.pi
+        u_ref[:] = phi * (0.5 / jnp.pi)
+        v_ref[:] = theta * (1.0 / jnp.pi)
+    else:
+        u_ref[:] = jnp.zeros_like(best_t)
+        v_ref[:] = jnp.zeros_like(best_t)
 
 
 def _ray_grid(R: int):
@@ -89,16 +125,18 @@ def _ray_grid(R: int):
     return rows, grid, spec
 
 
-def sphere_closest_hit_planar(
-    sph_packed: jnp.ndarray,  # (S, 8) [cx cy cz vx vy vz radius pad]
+def sphere_hit_attrs_planar(
+    sph_packed: jnp.ndarray,  # (S, 8) [cx cy cz vx vy vz radius mat]
     o,  # 3-tuple of (R,) planes
     d,  # 3-tuple of (R,) planes
     tm: jnp.ndarray,  # (R,)
     *,
     n_spheres: int,
     moving: bool,
+    needs_uv: bool,
 ):
-    """Per-ray closest sphere hit: returns (t (R,), idx (R,)).
+    """Per-ray closest sphere hit with attributes:
+    returns (t, normal 3-tuple, u, v, mat), each (R,).
 
     R must be a multiple of RAY_BLOCK (8192)."""
     R = o[0].shape[0]
@@ -108,19 +146,25 @@ def sphere_closest_hit_planar(
         return x.reshape(rows, _LANES)
 
     comps = tuple(plane(c) for c in (*o, *d, tm))
-    t_out, idx_out = pl.pallas_call(
+    f32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    t, nx, ny, nz, u, v, mat = pl.pallas_call(
         functools.partial(
-            _sphere_kernel, n_spheres=n_spheres, t_min=1e-3, moving=moving
+            _sphere_kernel, n_spheres=n_spheres, t_min=1e-3,
+            moving=moving, needs_uv=needs_uv,
         ),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
-        out_specs=(ray_spec, ray_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
-        ),
+        out_specs=(ray_spec,) * 7,
+        out_shape=(f32, f32, f32, f32, f32, f32, i32),
     )(sph_packed, *comps)
-    return t_out.reshape(R), idx_out.reshape(R)
+    return (
+        t.reshape(R),
+        (nx.reshape(R), ny.reshape(R), nz.reshape(R)),
+        u.reshape(R),
+        v.reshape(R),
+        mat.reshape(R),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_spheres", "moving"))
@@ -133,15 +177,19 @@ def sphere_closest_hit_pallas(
     n_spheres: int,
     moving: bool,
 ):
-    """(R,3) wrapper around sphere_closest_hit_planar."""
-    return sphere_closest_hit_planar(
+    """(R,3) compatibility wrapper: returns (t, mat-as-winner-id-proxy).
+
+    Kept for benchmarks; the integrator uses sphere_hit_attrs_planar."""
+    t, _n, _u, _v, mat = sphere_hit_attrs_planar(
         sph_packed,
         (o[:, 0], o[:, 1], o[:, 2]),
         (d[:, 0], d[:, 1], d[:, 2]),
         tm,
         n_spheres=n_spheres,
         moving=moving,
+        needs_uv=False,
     )
+    return t, mat
 
 
 def pack_spheres(tables) -> jnp.ndarray:
