@@ -32,15 +32,16 @@ RAY_BLOCK = _SUBLANES * _LANES
 
 
 def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                   tm_ref, t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref,
-                   mat_ref, *, n_spheres: int, t_min: float, moving: bool,
-                   needs_uv: bool):
+                   tm_ref, t_ref, nx_ref, ny_ref, nz_ref, mat_ref,
+                   *, n_spheres: int, t_min: float, moving: bool):
     """Closest sphere hit with winner attributes computed in-kernel.
 
     Carrying the winning sphere's (time-evaluated) center/radius/material
-    through the min-update lets the kernel emit the shading normal, UV and
+    through the min-update lets the kernel emit the shading normal and
     material id directly — avoiding a slow per-ray HBM gather over the
     sphere table afterwards (reference normal math: src/sphere.cuh:69-86).
+    Spherical UV (acos/atan2) is computed by the caller — Mosaic has no
+    acos lowering.
     """
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -105,14 +106,6 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     ny_ref[:] = ny
     nz_ref[:] = nz
     mat_ref[:] = bm.astype(jnp.int32)
-    if needs_uv:
-        theta = jnp.arccos(jnp.clip(-ny, -1.0, 1.0))
-        phi = jnp.arctan2(-nz, nx) + jnp.pi
-        u_ref[:] = phi * (0.5 / jnp.pi)
-        v_ref[:] = theta * (1.0 / jnp.pi)
-    else:
-        u_ref[:] = jnp.zeros_like(best_t)
-        v_ref[:] = jnp.zeros_like(best_t)
 
 
 def _ray_grid(R: int):
@@ -148,23 +141,26 @@ def sphere_hit_attrs_planar(
     comps = tuple(plane(c) for c in (*o, *d, tm))
     f32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
     i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
-    t, nx, ny, nz, u, v, mat = pl.pallas_call(
+    t, nx, ny, nz, mat = pl.pallas_call(
         functools.partial(
-            _sphere_kernel, n_spheres=n_spheres, t_min=1e-3,
-            moving=moving, needs_uv=needs_uv,
+            _sphere_kernel, n_spheres=n_spheres, t_min=1e-3, moving=moving
         ),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
-        out_specs=(ray_spec,) * 7,
-        out_shape=(f32, f32, f32, f32, f32, f32, i32),
+        out_specs=(ray_spec,) * 5,
+        out_shape=(f32, f32, f32, f32, i32),
     )(sph_packed, *comps)
-    return (
-        t.reshape(R),
-        (nx.reshape(R), ny.reshape(R), nz.reshape(R)),
-        u.reshape(R),
-        v.reshape(R),
-        mat.reshape(R),
-    )
+    normal = (nx.reshape(R), ny.reshape(R), nz.reshape(R))
+    if needs_uv:
+        # spherical uv from the (signed) normal (src/sphere.cuh:42-49);
+        # acos/atan2 have no Mosaic lowering, so this stays outside.
+        theta = jnp.arccos(jnp.clip(-normal[1], -1.0, 1.0))
+        phi = jnp.arctan2(-normal[2], normal[0]) + jnp.pi
+        u = phi * (0.5 / jnp.pi)
+        v = theta * (1.0 / jnp.pi)
+    else:
+        u = v = jnp.zeros((R,), jnp.float32)
+    return t.reshape(R), normal, u, v, mat.reshape(R)
 
 
 @functools.partial(jax.jit, static_argnames=("n_spheres", "moving"))
