@@ -5,8 +5,9 @@ The reference publishes no numbers (BASELINE.md); the driver-set north star
 is >= 100 Mrays/s/chip on TPU v5e.  ``vs_baseline`` is measured Mrays/s
 divided by that target.
 
-Prints ONE JSON line on stdout.  Wall-clock-bounded: renders in spp chunks
-and reports the steady-state rate plus the extrapolated full-frame time.
+Prints ONE JSON line on stdout.  Wall-clock-bounded: renders fixed-shape
+sample chunks (one compiled program) and reports the steady-state ray
+throughput plus the extrapolated full-frame time.
 """
 
 from __future__ import annotations
@@ -16,8 +17,9 @@ import sys
 import time
 
 NX, NY, SPP_FULL = 1200, 800, 500
+SPP_CHUNK = 32  # one compiled program; repeat until time budget
 TARGET_MRAYS = 100.0
-TIME_BUDGET_S = 240.0
+TIME_BUDGET_S = 180.0
 
 
 def main() -> None:
@@ -25,21 +27,16 @@ def main() -> None:
     from art_tpu.render.renderer import RenderConfig, render_scene
 
     scene = build_scene("bouncing_spheres", NX, NY)
+    cfg = RenderConfig(nx=NX, ny=NY, spp=SPP_CHUNK)
 
-    # Warm-up / compile at tiny spp.
-    warm_cfg = RenderConfig(nx=NX, ny=NY, spp=1)
     print("bench: warm-up compile...", file=sys.stderr)
-    render_scene(scene, warm_cfg)
+    render_scene(scene, cfg)  # compile + first run
 
-    # Measure with progressively larger spp until we have a stable sample
-    # or exhaust the time budget.
     spp_done = 0
     total_rays = 0.0
     total_secs = 0.0
-    spp_step = 4
     start = time.perf_counter()
     while spp_done < SPP_FULL and (time.perf_counter() - start) < TIME_BUDGET_S:
-        cfg = RenderConfig(nx=NX, ny=NY, spp=spp_step, seed=1984 + spp_done)
         _, stats = render_scene(scene, cfg)
         spp_done += stats["spp"]
         total_rays += stats["rays"]
@@ -48,13 +45,9 @@ def main() -> None:
             f"bench: spp={spp_done} rate={stats['mrays_per_sec']:.2f} Mrays/s",
             file=sys.stderr,
         )
-        spp_step = min(spp_step * 4, SPP_FULL - spp_done if SPP_FULL > spp_done else 4)
-        if spp_step <= 0:
-            break
 
     mrays = total_rays / total_secs / 1e6 if total_secs > 0 else 0.0
-    frame_rays = total_rays * (SPP_FULL / max(spp_done, 1))
-    sec_per_frame = frame_rays / (mrays * 1e6) if mrays > 0 else float("inf")
+    sec_per_frame = total_secs * (SPP_FULL / max(spp_done, 1))
 
     result = {
         "metric": "Mrays_per_sec_per_chip(bouncing_spheres 1200x800)",
