@@ -37,7 +37,12 @@ class RenderConfig:
     # TPU path: slot-pool size (rounded to the Pallas ray block)
     tpu_slots: int = 1 << 17
     max_slots: int = 1 << 16
-    # max queue elements (pixel-samples) per jit dispatch
+    # max pixels per tile: bounds the framebuffer scatter target (the
+    # XLA TPU scatter slows down with target size — measured 2x per fb
+    # doubling past ~2^18 rows)
+    max_tile_pixels: int = 1 << 18
+    # max queue elements (pixel-samples) per jit dispatch; deep queues
+    # amortize the drain tail (occupancy 0.66 -> 0.94 measured)
     queue_budget: int = 1 << 25
 
 
@@ -50,7 +55,7 @@ def plan_batches(n_pixels: int, spp: int, n_prims_max: int, cfg: RenderConfig):
     else:
         n_prims_max = max(n_prims_max, 1)
         n_slots = max(1024, min(cfg.max_slots, cfg.batch_budget // n_prims_max))
-    tile_pixels = min(n_pixels, cfg.queue_budget)
+    tile_pixels = min(n_pixels, cfg.max_tile_pixels)
     spp_chunk = min(spp, max(1, cfg.queue_budget // tile_pixels))
     # Never make the pool larger than the queue: padded queue elements are
     # wasted oversampling work (they are normalized out, but cost time).

@@ -1,0 +1,82 @@
+"""Pixel-statistics parity report vs the reference golden renders.
+
+The reference repo ships 18 golden PNGs (its de-facto regression suite,
+SURVEY.md §4).  This script renders each mapped scene, downsamples both
+images to a coarse grid, and reports per-channel mean differences and
+luminance correlation.  Expect: high correlation for deterministic scenes;
+bouncing_spheres is only *distributionally* comparable (curand scene
+layout differs, SURVEY.md §7).
+
+Usage: python scripts/parity_report.py [scene ...]
+"""
+
+import sys
+
+import numpy as np
+from PIL import Image
+
+from art_tpu.models import build_scene
+from art_tpu.render.renderer import RenderConfig, render_scene
+
+GOLDEN_DIR = "/root/reference/images"
+
+# scene -> (golden file, spp for our quick render)
+MAPPING = {
+    "checkered_spheres": ("checkered.png", 64),
+    "perlin": ("perlin.png", 64),
+    "quads": ("quads.png", 64),
+    "cornell_box": ("cornellBox.png", 256),
+    "simple_light": ("poolBall.png", 256),
+    "final_scene": ("finalScene.png", 128),
+    "original_scene": ("alfredo2.png", 128),
+    "bouncing_spheres": ("utk.png", 128),
+}
+
+GRID = (24, 16)  # (w, h) comparison grid
+
+
+def downsample(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    return np.asarray(
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).resize(
+            (w, h), Image.BILINEAR
+        ),
+        np.float32,
+    ) / 255.0
+
+
+def main():
+    names = sys.argv[1:] or list(MAPPING)
+    print(f"{'scene':20s} {'mean_ours':>22s} {'mean_gold':>22s} {'corr':>6s}")
+    for name in names:
+        golden_file, spp = MAPPING[name]
+        gold = np.asarray(Image.open(f"{GOLDEN_DIR}/{golden_file}").convert("RGB"),
+                          np.float32) / 255.0
+        gh, gw = gold.shape[:2]
+        # render at reduced size, same aspect
+        nx = 240
+        ny = max(8, int(round(nx * gh / gw)))
+        scene = build_scene(name, nx, ny)
+        fb, _ = render_scene(scene, RenderConfig(nx=nx, ny=ny, spp=spp))
+        ours = np.clip(fb[::-1], 0.0, 1.0)  # top-down like the PNG
+
+        a = downsample(ours, *GRID)
+        b = downsample(gold, *GRID)
+        lum_a = a.mean(-1).ravel()
+        lum_b = b.mean(-1).ravel()
+        corr = float(np.corrcoef(lum_a, lum_b)[0, 1])
+        print(
+            f"{name:20s} {np.array2string(a.mean((0,1)), precision=3):>22s} "
+            f"{np.array2string(b.mean((0,1)), precision=3):>22s} {corr:6.3f}",
+            flush=True,
+        )
+        side = np.concatenate(
+            [downsample(ours, gw // 4, gh // 4), downsample(gold, gw // 4, gh // 4)],
+            axis=1,
+        )
+        Image.fromarray((side * 255).astype(np.uint8)).save(
+            f"/root/repo/out/parity_{name}.png"
+        )
+
+
+if __name__ == "__main__":
+    main()
