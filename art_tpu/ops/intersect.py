@@ -387,13 +387,14 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
         better = t_q < t_best
         t_best = jnp.where(better, t_q, t_best)
         winner = jnp.where(better, 1, winner)
+    box_attrs = None
     if tables.n_boxes:
         if use_pallas:
-            t_b, idx_b = pk.box_closest_hit_planar(
+            t_b, n_b, u_b, v_b, m_b = pk.box_hit_attrs_planar(
                 tables.box_packed, o, d,
                 n_boxes=tables.n_boxes, rotated=tables.has_rotated_boxes,
             )
-            idx_b = jnp.maximum(idx_b, 0)
+            box_attrs = (n_b, u_b, v_b, m_b)
         else:
             t_b, idx_b = box_candidates_p(tables, o, d, t_min)
         better = t_b < t_best
@@ -430,11 +431,10 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
             normal, uu, vv, mat,
         )
     if tables.n_boxes:
-        normal, uu, vv, mat = blend(
-            winner == 2,
-            box_attributes_p(tables, o, d, t_best, idx_b),
-            normal, uu, vv, mat,
+        attrs = box_attrs if box_attrs is not None else box_attributes_p(
+            tables, o, d, t_best, idx_b
         )
+        normal, uu, vv, mat = blend(winner == 2, attrs, normal, uu, vv, mat)
 
     return HitRecordP(hit=hit, t=t_best, p=p, normal=normal, u=uu, v=vv, mat=mat)
 

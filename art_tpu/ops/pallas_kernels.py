@@ -285,24 +285,42 @@ def pack_quads(tables) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _safe_div_dir(x):
+    mag = jnp.abs(x)
+    sign = jnp.where(x >= 0.0, 1.0, -1.0)
+    return jnp.where(mag < 1e-12, sign * 1e-12, x)
+
+
 def _box_kernel(bx_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                t_ref, idx_ref, *, n_boxes: int, t_min: float, rotated: bool):
+                t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, mat_ref,
+                *, n_boxes: int, t_min: float, rotated: bool):
+    """Closest box hit (slab test) with winner attributes computed in-kernel.
+
+    Equivalent to the reference compound6 six-quad scan (src/quad.cuh:124-139)
+    with the make_box per-face UV (src/quad.cuh:145-162).  The winning box's
+    12 packed params are carried through the min-update; face identification
+    and UV are derived once after the loop.
+    """
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
-    init_t = jnp.full(ox.shape, BIG, jnp.float32)
-    init_i = jnp.full(ox.shape, -1, jnp.int32)
-
-    def safe(x):
-        mag = jnp.abs(x)
-        sign = jnp.where(x >= 0.0, 1.0, -1.0)
-        return jnp.where(mag < 1e-12, sign * 1e-12, x)
+    zeros = jnp.zeros(ox.shape, jnp.float32)
+    init = (
+        jnp.full(ox.shape, BIG, jnp.float32),
+        zeros, zeros, zeros,  # bmin
+        zeros + 1.0, zeros + 1.0, zeros + 1.0,  # bmax
+        zeros + 1.0, zeros,  # cos, sin
+        zeros, zeros, zeros,  # off
+        zeros,  # mat
+    )
 
     def body(b, carry):
-        best_t, best_i = carry
+        (best_t, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
+         bct, bst, boffx, boffy, boffz, bm) = carry
         mnx, mny, mnz = bx_ref[b, 0], bx_ref[b, 1], bx_ref[b, 2]
         mxx, mxy, mxz = bx_ref[b, 3], bx_ref[b, 4], bx_ref[b, 5]
         offx, offy, offz = bx_ref[b, 8], bx_ref[b, 9], bx_ref[b, 10]
+        m = bx_ref[b, 11]
 
         lox = ox - offx
         loy = oy - offy
@@ -312,10 +330,13 @@ def _box_kernel(bx_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             ct, st = bx_ref[b, 6], bx_ref[b, 7]
             lox, loz = ct * lox - st * loz, st * lox + ct * loz
             ldx, ldz = ct * ldx - st * ldz, st * ldx + ct * ldz
+        else:
+            ct = jnp.float32(1.0)
+            st = jnp.float32(0.0)
 
-        ix = 1.0 / safe(ldx)
-        iy = 1.0 / safe(ldy)
-        iz = 1.0 / safe(ldz)
+        ix = 1.0 / _safe_div_dir(ldx)
+        iy = 1.0 / _safe_div_dir(ldy)
+        iz = 1.0 / _safe_div_dir(ldz)
         tax = (mnx - lox) * ix
         tbx = (mxx - lox) * ix
         tay = (mny - loy) * iy
@@ -337,23 +358,111 @@ def _box_kernel(bx_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             jnp.where(through & (t1 > t_min), t1, BIG),
         )
         better = t < best_t
-        best_t = jnp.where(better, t, best_t)
-        best_i = jnp.where(better, b, best_i)
-        return best_t, best_i
 
-    best_t, best_i = jax.lax.fori_loop(0, n_boxes, body, (init_t, init_i))
+        def sel(new, old):
+            return jnp.where(better, new, old)
+
+        return (
+            sel(t, best_t),
+            sel(mnx, bmnx), sel(mny, bmny), sel(mnz, bmnz),
+            sel(mxx, bmxx), sel(mxy, bmxy), sel(mxz, bmxz),
+            sel(ct, bct), sel(st, bst),
+            sel(offx, boffx), sel(offy, boffy), sel(offz, boffz),
+            sel(m, bm),
+        )
+
+    (best_t, mnx, mny, mnz, mxx, mxy, mxz,
+     ct, st, offx, offy, offz, bm) = jax.lax.fori_loop(0, n_boxes, body, init)
+
+    # --- winner attributes: re-run the slab once for face identification ---
+    lox = ox - offx
+    loy = oy - offy
+    loz = oz - offz
+    ldx, ldy, ldz = dx, dy, dz
+    if rotated:
+        lox, loz = ct * lox - st * loz, st * lox + ct * loz
+        ldx, ldz = ct * ldx - st * ldz, st * ldx + ct * ldz
+
+    ix = 1.0 / _safe_div_dir(ldx)
+    iy = 1.0 / _safe_div_dir(ldy)
+    iz = 1.0 / _safe_div_dir(ldz)
+    t0x = jnp.minimum((mnx - lox) * ix, (mxx - lox) * ix)
+    t1x = jnp.maximum((mnx - lox) * ix, (mxx - lox) * ix)
+    t0y = jnp.minimum((mny - loy) * iy, (mxy - loy) * iy)
+    t1y = jnp.maximum((mny - loy) * iy, (mxy - loy) * iy)
+    t0z = jnp.minimum((mnz - loz) * iz, (mxz - loz) * iz)
+    t1z = jnp.maximum((mnz - loz) * iz, (mxz - loz) * iz)
+    t_entry = jnp.maximum(jnp.maximum(t0x, t0y), t0z)
+    t_exit = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+    axis_entry = jnp.where(t0x >= jnp.maximum(t0y, t0z), 0,
+                           jnp.where(t0y >= t0z, 1, 2))
+    axis_exit = jnp.where(t1x <= jnp.minimum(t1y, t1z), 0,
+                          jnp.where(t1y <= t1z, 1, 2))
+    is_entry = jnp.abs(best_t - t_entry) <= jnp.abs(best_t - t_exit)
+    axis = jnp.where(is_entry, axis_entry, axis_exit)
+
+    ax = axis == 0
+    ay = axis == 1
+    d_axis = jnp.where(ax, ldx, jnp.where(ay, ldy, ldz))
+    sgn = jnp.where(d_axis >= 0.0, 1.0, -1.0)
+    n_val = -sgn  # shading normal faces against the ray
+    outward_sgn = jnp.where(is_entry, -sgn, sgn)
+
+    nlx = jnp.where(ax, n_val, 0.0)
+    nly = jnp.where(ay, n_val, 0.0)
+    nlz = jnp.where(ax | ay, 0.0, n_val)
+    if rotated:
+        # world = R(theta) * local
+        nwx = ct * nlx + st * nlz
+        nwz = -st * nlx + ct * nlz
+    else:
+        nwx, nwz = nlx, nlz
+
+    x = lox + best_t * ldx
+    y = loy + best_t * ldy
+    z = loz + best_t * ldz
+    wx = mxx - mnx
+    wy = mxy - mny
+    wz = mxz - mnz
+    pos_face = outward_sgn > 0.0
+    ua = jnp.where(
+        ax,
+        jnp.where(pos_face, (mxz - z) / wz, (z - mnz) / wz),
+        jnp.where(
+            ay,
+            (x - mnx) / wx,
+            jnp.where(pos_face, (x - mnx) / wx, (mxx - x) / wx),
+        ),
+    )
+    va = jnp.where(
+        ax,
+        (y - mny) / wy,
+        jnp.where(
+            ay,
+            jnp.where(pos_face, (mxz - z) / wz, (z - mnz) / wz),
+            (y - mny) / wy,
+        ),
+    )
+
     t_ref[:] = best_t
-    idx_ref[:] = best_i
+    nx_ref[:] = nwx
+    ny_ref[:] = nly
+    nz_ref[:] = nwz
+    u_ref[:] = ua
+    v_ref[:] = va
+    mat_ref[:] = bm.astype(jnp.int32)
 
 
-def box_closest_hit_planar(
-    bx_packed: jnp.ndarray,  # (B, 12) [min(3), max(3), cos, sin, off(3), pad]
+def box_hit_attrs_planar(
+    bx_packed: jnp.ndarray,  # (B, 12) [min(3), max(3), cos, sin, off(3), mat]
     o,  # 3-tuple of (R,) planes
     d,
     *,
     n_boxes: int,
     rotated: bool,
 ):
+    """Per-ray closest box hit with attributes:
+    returns (t, normal 3-tuple, u, v, mat), each (R,)."""
     R = o[0].shape[0]
     rows, grid, ray_spec = _ray_grid(R)
 
@@ -361,19 +470,24 @@ def box_closest_hit_planar(
         return x.reshape(rows, _LANES)
 
     comps = tuple(plane(c) for c in (*o, *d))
-    t_out, idx_out = pl.pallas_call(
+    f32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    t, nx, ny, nz, u, v, mat = pl.pallas_call(
         functools.partial(
             _box_kernel, n_boxes=n_boxes, t_min=1e-3, rotated=rotated
         ),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 6,
-        out_specs=(ray_spec, ray_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
-        ),
+        out_specs=(ray_spec,) * 7,
+        out_shape=(f32, f32, f32, f32, f32, f32, i32),
     )(bx_packed, *comps)
-    return t_out.reshape(R), idx_out.reshape(R)
+    return (
+        t.reshape(R),
+        (nx.reshape(R), ny.reshape(R), nz.reshape(R)),
+        u.reshape(R),
+        v.reshape(R),
+        mat.reshape(R),
+    )
 
 
 def pack_boxes(tables) -> jnp.ndarray:
