@@ -452,7 +452,7 @@ def apply_media_p(
     (src/constant_medium.cuh:36-64): for each medium, the boundary interval
     over (-inf, inf) is clipped to [t_min, t_surface], an exponential
     free-flight distance is drawn, and the closest accepted scatter wins.
-    ``u_media`` is a (R, >=n_media) block of U[0,1) samples.
+    ``u_media`` is a (>=n_media, R) block of U[0,1) samples (row-planar).
     """
     if not tables.n_media:
         return surf
@@ -503,7 +503,7 @@ def apply_media_p(
         ok = bnd_ok & (rec1 < rec2) & len_ok
         distance_inside = (rec2 - rec1) * ray_len
 
-        u01 = jnp.maximum(1e-6, u_media[:, m])
+        u01 = jnp.maximum(1e-6, u_media[m])
         hit_distance = tables.med_neg_inv_density[m] * jnp.log(u01)
         scatter = ok & (hit_distance <= distance_inside)
         t_m = rec1 + hit_distance / ray_len

@@ -93,7 +93,7 @@ def _bounce_step(tables, o, d, tm, throughput, radiance, active, U, background, 
         )
     else:
         surf = closest_surface_p(tables, o, d, tm, T_MIN)
-        rec = apply_media_p(tables, o, d, T_MIN, surf, U[:, _U_MEDIA:])
+        rec = apply_media_p(tables, o, d, T_MIN, surf, U[_U_MEDIA:])
 
     bg = background_color_p(d, background, gradient_bg)
     miss = active & ~rec.hit
@@ -112,12 +112,12 @@ def _bounce_step(tables, o, d, tm, throughput, radiance, active, U, background, 
             emitted=(z, z, z),
             attenuation=(z + 0.9, z + 0.9, z + 0.9),
             direction=nd,
-            scattered=rec.hit & (U[:, _U_CHOICE] < 0.7),
+            scattered=rec.hit & (U[_U_CHOICE] < 0.7),
         )
     else:
         sc = shade_p(
             tables, d, rec,
-            (U[:, 0], U[:, 1], U[:, 2]), U[:, _U_CHOICE],
+            (U[0], U[1], U[2]), U[_U_CHOICE],
         )
 
     radiance = tuple(
@@ -178,7 +178,7 @@ def trace(
         return (st.bounce < max_depth) & jnp.any(st.alive)
 
     def body(st: _TraceState) -> _TraceState:
-        U = artrng.uniform(artrng.fold(key, 1000 + st.bounce), (R, ncols))
+        U = artrng.uniform(artrng.fold(key, 1000 + st.bounce), (ncols, R))
         o, d, throughput, radiance, survived = _bounce_step(
             tables, st.origin, st.direction, st.time,
             st.throughput, st.radiance, st.alive, U, background, gradient_bg,
@@ -266,7 +266,7 @@ def render_wavefront(
         return ((st.next_q < n_q) | jnp.any(st.active)) & (st.it < max_iters)
 
     def body(st: _PoolState) -> _PoolState:
-        U = artrng.uniform(artrng.fold(key, st.it), (R, ncols))
+        U = artrng.uniform(artrng.fold(key, st.it), (ncols, R))
 
         # ---- refill dead slots from the global queue ----
         dead = ~st.active
@@ -278,10 +278,10 @@ def render_wavefront(
         pixel = jnp.minimum(pix_offset + p_row, total_pixels - 1)
         i = (pixel % nx).astype(jnp.float32)
         j = (pixel // nx).astype(jnp.float32)
-        s = (i + U[:, _U_JITTER0]) / nx
-        t = (j + U[:, _U_JITTER1]) / ny
+        s = (i + U[_U_JITTER0]) / nx
+        t = (j + U[_U_JITTER1]) / ny
         o_new, d_new, tm_new = rays_from_uniforms_p(
-            cam, s, t, U[:, _U_LENS0], U[:, _U_LENS1], U[:, _U_TIME]
+            cam, s, t, U[_U_LENS0], U[_U_LENS1], U[_U_TIME]
         )
 
         o = p_where(take, o_new, st.o)

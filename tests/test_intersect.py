@@ -215,7 +215,7 @@ def test_medium_scatter_statistics():
     t = jnp.zeros((n,), jnp.float32)
     surf = intersect.closest_surface(sc.tables, o, d, t, T_MIN)
     assert not bool(np.asarray(surf.hit).any())  # media only, no surfaces
-    u_med = jax.random.uniform(jax.random.PRNGKey(7), (n, 1), jnp.float32)
+    u_med = jax.random.uniform(jax.random.PRNGKey(7), (1, n), jnp.float32)
     rec = intersect.apply_media(sc.tables, o, d, T_MIN, surf, u_med)
     hit = np.asarray(rec.hit)
     # P(scatter) = 1 - exp(-density * 8) ~ 0.9817 through the 8-long chord
