@@ -34,6 +34,10 @@ def main(argv=None) -> int:
         "--png", default=None, help="also write a PNG copy to this path"
     )
     parser.add_argument(
+        "--checkpoint", default=None,
+        help="npz path: save progress per dispatch and resume matching renders",
+    )
+    parser.add_argument(
         "--sharded", action="store_true", help="render across all visible devices"
     )
     parser.add_argument(
@@ -86,7 +90,9 @@ def main(argv=None) -> int:
 
         fb, stats = render_scene_sharded(scene, cfg)
     else:
-        fb, stats = render_scene(scene, cfg, verbose=args.verbose)
+        fb, stats = render_scene(
+            scene, cfg, verbose=args.verbose, checkpoint_path=args.checkpoint
+        )
     print(
         f"took {stats['seconds']:.3f} seconds. "
         f"{stats['mrays_per_sec']:.2f} Mrays/s",

@@ -123,11 +123,22 @@ def apply_gamma(fb: np.ndarray, gamma: float) -> np.ndarray:
     return np.power(np.maximum(fb, 0.0), 1.0 / gamma)
 
 
-def render_scene(scene, cfg: RenderConfig, verbose: bool = False):
+def render_scene(
+    scene,
+    cfg: RenderConfig,
+    verbose: bool = False,
+    checkpoint_path: str | None = None,
+):
     """Render a CompiledScene; returns (framebuffer (ny,nx,3) float, stats dict).
 
     Row 0 of the framebuffer is the *bottom* scanline (reference fb layout,
     pixel = j*nx + i).
+
+    ``checkpoint_path``: optional .npz path.  The radiance accumulator is
+    saved after every (tile, chunk) dispatch and a matching render resumes
+    from the last completed dispatch — the reference has no recovery story
+    (a render is all-or-nothing, SURVEY.md §5); here a 10000-spp frame
+    survives interruption.
     """
     tables: SceneTables = scene.tables
     cam: Camera = scene.camera
@@ -156,13 +167,38 @@ def render_scene(scene, cfg: RenderConfig, verbose: bool = False):
     total_iters = 0
     start = _time.perf_counter()
 
+    # ---- checkpoint/resume bookkeeping ----
+    ckpt_sig = np.array(
+        [cfg.nx, cfg.ny, cfg.spp, cfg.max_depth, cfg.seed, tile_pixels, spp_chunk, n_slots]
+    )
+    done_dispatches = -1  # index of last completed (tile * n_chunks + chunk)
+    if checkpoint_path:
+        try:
+            ck = np.load(checkpoint_path)
+            if np.array_equal(ck["sig"], ckpt_sig):
+                fb = ck["fb"]
+                done_dispatches = int(ck["done"])
+                total_rays = float(ck["rays"])
+                if verbose:
+                    print(
+                        f"resuming from checkpoint: {done_dispatches + 1} dispatches done",
+                        file=sys.stderr,
+                    )
+        except (FileNotFoundError, KeyError, ValueError):
+            pass
+
+    def save_ckpt(done):
+        np.savez(
+            checkpoint_path, sig=ckpt_sig, fb=fb, done=done, rays=total_rays
+        )
+
     for tile in range(n_tiles):
         lo = tile * tile_pixels
         hi = min(lo + tile_pixels, n_pixels)
-        acc = jnp.zeros((tile_pixels, 3), jnp.float32)
-        rays_dev = jnp.float32(0.0)
-        iters_total = 0
         for chunk in range(n_chunks):
+            dispatch = tile * n_chunks + chunk
+            if dispatch <= done_dispatches:
+                continue
             k = artrng.fold(master, tile, chunk)
             batch, rays, iters = _wavefront_jit(
                 tables,
@@ -179,16 +215,16 @@ def render_scene(scene, cfg: RenderConfig, verbose: bool = False):
                 gradient_bg=scene.gradient_bg,
                 n_slots=n_slots,
             )
-            acc = acc + batch
-            rays_dev = rays_dev + rays
-            iters_total += int(iters)
-        counts = counts_chunk * n_chunks
-        fb[lo:hi] += (np.asarray(acc) / counts[:, None])[: hi - lo]
-        total_rays += float(rays_dev)
-        total_iters += iters_total
+            # fb holds raw radiance sums until the final normalization
+            fb[lo:hi] += np.asarray(batch)[: hi - lo]
+            total_rays += float(rays)
+            total_iters += int(iters)
+            if checkpoint_path:
+                save_ckpt(dispatch)
 
     elapsed = _time.perf_counter() - start
-    fb = apply_gamma(fb, cfg.gamma)
+    counts = counts_chunk[0] * n_chunks  # exact spp per pixel (uniform)
+    fb = apply_gamma(fb / counts, cfg.gamma)
     fb = fb.reshape(cfg.ny, cfg.nx, 3)
 
     stats = {
