@@ -58,8 +58,8 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         zeros,  # material id (as f32)
     )
 
-    def body(s, carry):
-        best_t, bcx, bcy, bcz, br, bm = carry
+    def candidate(s):
+        """(t, cx, cy, cz, r, m, hit_ok) for sphere s against the whole block."""
         cx = sph_ref[s, 0]
         cy = sph_ref[s, 1]
         cz = sph_ref[s, 2]
@@ -78,22 +78,34 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t1 = (-b - sq) * inv_a
         t2 = (-b + sq) * inv_a
-        valid = disc > 0.0
-        t = jnp.where(
-            valid & (t1 > t_min),
-            t1,
-            jnp.where(valid & (t2 > t_min), t2, BIG),
-        )
-        better = t < best_t
-        best_t = jnp.where(better, t, best_t)
-        bcx = jnp.where(better, cx, bcx)
-        bcy = jnp.where(better, cy, bcy)
-        bcz = jnp.where(better, cz, bcz)
-        br = jnp.where(better, r, br)
-        bm = jnp.where(better, m, bm)
-        return best_t, bcx, bcy, bcz, br, bm
+        cand = jnp.where(t1 > t_min, t1, t2)
+        ok = (disc > 0.0) & (cand > t_min)
+        return cand, cx, cy, cz, r, m, ok
 
-    best_t, bcx, bcy, bcz, br, bm = jax.lax.fori_loop(0, n_spheres, body, init)
+    def update(carry, cand):
+        best_t, bcx, bcy, bcz, br, bm = carry
+        t, cx, cy, cz, r, m, ok = cand
+        better = ok & (t < best_t)
+        return (
+            jnp.where(better, t, best_t),
+            jnp.where(better, cx, bcx),
+            jnp.where(better, cy, bcy),
+            jnp.where(better, cz, bcz),
+            jnp.where(better, r, br),
+            jnp.where(better, m, bm),
+        )
+
+    # unrolled to overlap scalar loads with vector math (table padded to a
+    # multiple of UNROLL by pack_spheres)
+    UNROLL = 8
+    def body(i, carry):
+        s = i * UNROLL
+        for k in range(UNROLL):
+            carry = update(carry, candidate(s + k))
+        return carry
+
+    nu = (n_spheres + UNROLL - 1) // UNROLL
+    best_t, bcx, bcy, bcz, br, bm = jax.lax.fori_loop(0, nu, body, init)
 
     # winner attributes (src/sphere.cuh:69-86); garbage on miss lanes, which
     # the caller blends out by hit mask
@@ -189,13 +201,17 @@ def sphere_closest_hit_pallas(
 
 
 def pack_spheres(tables) -> jnp.ndarray:
-    """(S, 8) packed sphere table: [cx cy cz vx vy vz radius mat]."""
+    """(S_pad, 8) packed sphere table: [cx cy cz vx vy vz radius mat].
+
+    Padded to a multiple of 8 for the unrolled kernel loop; pad rows have
+    radius 0, which can never hit (disc = (oc.d)^2 - |d|^2|oc|^2 <= 0)."""
     S = tables.sph_center.shape[0]
-    out = jnp.zeros((S, 8), jnp.float32)
-    out = out.at[:, 0:3].set(tables.sph_center)
-    out = out.at[:, 3:6].set(tables.sph_vel)
-    out = out.at[:, 6].set(tables.sph_radius)
-    out = out.at[:, 7].set(tables.sph_mat.astype(jnp.float32))
+    S_pad = -(-S // 8) * 8
+    out = jnp.zeros((S_pad, 8), jnp.float32)
+    out = out.at[:S, 0:3].set(tables.sph_center)
+    out = out.at[:S, 3:6].set(tables.sph_vel)
+    out = out.at[:S, 6].set(tables.sph_radius)
+    out = out.at[:S, 7].set(tables.sph_mat.astype(jnp.float32))
     return out
 
 
