@@ -330,9 +330,7 @@ def _box_kernel(bx_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         zeros,  # mat
     )
 
-    def body(b, carry):
-        (best_t, bmnx, bmny, bmnz, bmxx, bmxy, bmxz,
-         bct, bst, boffx, boffy, boffz, bm) = carry
+    def candidate(b):
         mnx, mny, mnz = bx_ref[b, 0], bx_ref[b, 1], bx_ref[b, 2]
         mxx, mxy, mxz = bx_ref[b, 3], bx_ref[b, 4], bx_ref[b, 5]
         offx, offy, offz = bx_ref[b, 8], bx_ref[b, 9], bx_ref[b, 10]
@@ -373,22 +371,30 @@ def _box_kernel(bx_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             t0,
             jnp.where(through & (t1 > t_min), t1, BIG),
         )
+        return t, (mnx, mny, mnz, mxx, mxy, mxz, ct, st, offx, offy, offz, m)
+
+    def update(carry, cand):
+        best_t = carry[0]
+        t, params = cand
         better = t < best_t
 
         def sel(new, old):
             return jnp.where(better, new, old)
 
-        return (
-            sel(t, best_t),
-            sel(mnx, bmnx), sel(mny, bmny), sel(mnz, bmnz),
-            sel(mxx, bmxx), sel(mxy, bmxy), sel(mxz, bmxz),
-            sel(ct, bct), sel(st, bst),
-            sel(offx, boffx), sel(offy, boffy), sel(offz, boffz),
-            sel(m, bm),
+        return (sel(t, best_t),) + tuple(
+            sel(p, c) for p, c in zip(params, carry[1:])
         )
 
+    UNROLL = 4
+    def body(i, carry):
+        b = i * UNROLL
+        for k in range(UNROLL):
+            carry = update(carry, candidate(b + k))
+        return carry
+
+    nu = (n_boxes + UNROLL - 1) // UNROLL
     (best_t, mnx, mny, mnz, mxx, mxy, mxz,
-     ct, st, offx, offy, offz, bm) = jax.lax.fori_loop(0, n_boxes, body, init)
+     ct, st, offx, offy, offz, bm) = jax.lax.fori_loop(0, nu, body, init)
 
     # --- winner attributes: re-run the slab once for face identification ---
     lox = ox - offx
@@ -507,13 +513,17 @@ def box_hit_attrs_planar(
 
 
 def pack_boxes(tables) -> jnp.ndarray:
-    """(B, 12) packed box table: [min(3) max(3) cos sin off(3) mat]."""
+    """(B_pad, 12) packed box table: [min(3) max(3) cos sin off(3) mat].
+
+    Padded to a multiple of 4 for the unrolled kernel loop; pad rows are
+    zero-size boxes (t_entry == t_exit, never `through`)."""
     B = tables.box_min.shape[0]
-    out = jnp.zeros((B, 12), jnp.float32)
-    out = out.at[:, 0:3].set(tables.box_min)
-    out = out.at[:, 3:6].set(tables.box_max)
-    out = out.at[:, 6].set(tables.box_cos)
-    out = out.at[:, 7].set(tables.box_sin)
-    out = out.at[:, 8:11].set(tables.box_off)
-    out = out.at[:, 11].set(tables.box_mat.astype(jnp.float32))
+    B_pad = -(-B // 4) * 4
+    out = jnp.zeros((B_pad, 12), jnp.float32)
+    out = out.at[:B, 0:3].set(tables.box_min)
+    out = out.at[:B, 3:6].set(tables.box_max)
+    out = out.at[:B, 6].set(tables.box_cos)
+    out = out.at[:B, 7].set(tables.box_sin)
+    out = out.at[:B, 8:11].set(tables.box_off)
+    out = out.at[:B, 11].set(tables.box_mat.astype(jnp.float32))
     return out
