@@ -38,9 +38,9 @@ class RenderConfig:
     tpu_slots: int = 1 << 17
     max_slots: int = 1 << 16
     # max pixels per tile: bounds the framebuffer scatter target (the
-    # XLA TPU scatter slows down with target size — measured 2x per fb
-    # doubling past ~2^18 rows)
-    max_tile_pixels: int = 1 << 18
+    # XLA TPU scatter cost scales with target size; 2^16-pixel tiles with
+    # deep sample queues measured fastest)
+    max_tile_pixels: int = 1 << 16
     # max queue elements (pixel-samples) per jit dispatch; deep queues
     # amortize the drain tail (occupancy 0.66 -> 0.94 measured)
     queue_budget: int = 1 << 25

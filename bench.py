@@ -17,7 +17,7 @@ import sys
 import time
 
 NX, NY, SPP_FULL = 1200, 800, 500
-SPP_CHUNK = 128  # one compiled program; deep queue keeps pool occupancy high
+SPP_CHUNK = 500  # one compiled program; deep queue keeps pool occupancy high
 TARGET_MRAYS = 100.0
 TIME_BUDGET_S = 180.0
 
