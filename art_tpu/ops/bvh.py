@@ -70,8 +70,10 @@ def build_bvh(bmin: np.ndarray, bmax: np.ndarray) -> FlatBVH:
         mx = bmax[idxs].max(axis=0)
         me = emit(mn, mx, int(idxs[0]) if count == 1 else -1)
         if count > 1:
-            # split axis by largest spread of box minima (bvh.cuh:45-63:
-            # y wins ties against x; z wins ties against y)
+            # split axis by largest spread of box minima, matching the
+            # reference tie rule (bvh.cuh:45-63: `sy > sx && sy >= sz`) —
+            # x wins ties against y; y wins ties against z; z needs a
+            # strict win over x plus >= y
             mins = bmin[idxs]
             spread = mins.max(axis=0) - mins.min(axis=0)
             axis = 0
@@ -79,7 +81,10 @@ def build_bvh(bmin: np.ndarray, bmax: np.ndarray) -> FlatBVH:
                 axis = 1
             elif spread[2] > spread[0] and spread[2] >= spread[1]:
                 axis = 2
-            # sort segment by box min along axis (bvh.cuh:65-77)
+            # sort segment by box min along axis (bvh.cuh:65-77).  NOTE: a
+            # stable argsort; the reference's in-place selection sort is
+            # unstable, so layouts can differ when box minima tie — the set
+            # of primitives per subtree is identical either way
             seg = order[start:end]
             order[start:end] = seg[np.argsort(bmin[seg, axis], kind="stable")]
             mid = start + (count >> 1)  # midpoint split (bvh.cuh:79)

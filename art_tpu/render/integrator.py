@@ -69,7 +69,9 @@ def background_color(d: jnp.ndarray, bg: jnp.ndarray, gradient: bool) -> jnp.nda
     return jnp.stack(background_color_p(p_unstack(d), bg, gradient), axis=-1)
 
 
+# Debug ablation flags, read once at import (never inside traced bodies).
 _DBG = __import__("os").environ.get("ART_TPU_DBG", "")
+_NO_FLUSH = bool(__import__("os").environ.get("ART_TPU_NO_FLUSH"))
 
 
 def _bounce_step(tables, o, d, tm, throughput, radiance, active, U, background, gradient_bg):
@@ -305,9 +307,7 @@ def render_wavefront(
 
         # ---- flush newly-terminated rays to the framebuffer ----
         died = active & ~still_alive
-        import os as _os
-
-        if _os.environ.get("ART_TPU_NO_FLUSH"):  # perf-debug only: wrong image
+        if _NO_FLUSH:  # perf-debug only: wrong image
             fb = st.fb.at[0, 0].add(jnp.sum(jnp.where(died, radiance[0], 0.0)))
         else:
             flush = jnp.stack(

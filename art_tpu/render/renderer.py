@@ -11,8 +11,11 @@ jnp (R x N) working set.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import os
 import sys
 import time as _time
+import zipfile
 
 import jax
 import jax.numpy as jnp
@@ -116,6 +119,17 @@ _wavefront_jit = jax.jit(
 )
 
 
+def _scene_digest(scene) -> str:
+    """Digest of the compiled scene (tables + camera + background) for
+    checkpoint identity."""
+    h = hashlib.sha1()
+    for leaf in jax.tree_util.tree_leaves((scene.tables, scene.camera)):
+        h.update(np.asarray(leaf).tobytes())
+    h.update(np.asarray(scene.background, np.float32).tobytes())
+    h.update(bytes([int(bool(scene.gradient_bg))]))
+    return h.hexdigest()[:16]
+
+
 def apply_gamma(fb: np.ndarray, gamma: float) -> np.ndarray:
     """Per-channel gamma (reference src/main.cu:37-42)."""
     if gamma == 1.0:
@@ -171,11 +185,19 @@ def render_scene(
     ckpt_sig = np.array(
         [cfg.nx, cfg.ny, cfg.spp, cfg.max_depth, cfg.seed, tile_pixels, spp_chunk, n_slots]
     )
+    # Scene identity: name + digest of the compiled tables/camera/background,
+    # so a checkpoint written for scene A is ignored (not silently resumed)
+    # when rendering scene B with the same config.
+    ckpt_scene = f"{getattr(scene, 'name', 'scene')}:{_scene_digest(scene)}"
     done_dispatches = -1  # index of last completed (tile * n_chunks + chunk)
     if checkpoint_path:
+        # np.savez appends '.npz' to extension-less paths; normalize so the
+        # save and the resume load agree on one filename.
+        if not checkpoint_path.endswith(".npz"):
+            checkpoint_path += ".npz"
         try:
             ck = np.load(checkpoint_path)
-            if np.array_equal(ck["sig"], ckpt_sig):
+            if np.array_equal(ck["sig"], ckpt_sig) and str(ck["scene"]) == ckpt_scene:
                 fb = ck["fb"]
                 done_dispatches = int(ck["done"])
                 total_rays = float(ck["rays"])
@@ -184,13 +206,21 @@ def render_scene(
                         f"resuming from checkpoint: {done_dispatches + 1} dispatches done",
                         file=sys.stderr,
                     )
-        except (FileNotFoundError, KeyError, ValueError):
+        except (OSError, KeyError, ValueError, EOFError, zipfile.BadZipFile):
+            # missing file, truncated zip from a mid-save kill, or a
+            # foreign/old format all mean: start fresh
             pass
 
     def save_ckpt(done):
-        np.savez(
-            checkpoint_path, sig=ckpt_sig, fb=fb, done=done, rays=total_rays
-        )
+        # write-then-rename so a kill mid-save can never leave a truncated
+        # archive at checkpoint_path
+        tmp = checkpoint_path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(
+                fh, sig=ckpt_sig, scene=ckpt_scene, fb=fb, done=done,
+                rays=total_rays,
+            )
+        os.replace(tmp, checkpoint_path)
 
     for tile in range(n_tiles):
         lo = tile * tile_pixels

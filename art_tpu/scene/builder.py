@@ -318,8 +318,13 @@ class _Compiler:
             )
         else:
             raise TypeError(
-                "ConstantMedium boundary must reduce to a Sphere or Box, got "
-                f"{type(node)!r}"
+                "ConstantMedium boundary must reduce to a (possibly "
+                "translated/rotated) Sphere or Box, got "
+                f"{type(node).__name__}. The reference accepts any hittable "
+                "boundary (src/constant_medium.cuh:16-34); this framework "
+                "restricts it to convex analytic boundaries so the entry/exit "
+                "interval is closed-form — every reference scene satisfies "
+                "this (documented capability gap, see README)."
             )
 
     # -- table assembly --
@@ -373,15 +378,18 @@ class _Compiler:
 
         if self.boxes:
             sins = np.asarray([b[3] for b in self.boxes], f32)
+            coss = np.asarray([b[2] for b in self.boxes], f32)
             t.update(
                 box_min=jnp.asarray(np.stack([b[0] for b in self.boxes]), f32),
                 box_max=jnp.asarray(np.stack([b[1] for b in self.boxes]), f32),
-                box_cos=jnp.asarray([b[2] for b in self.boxes], f32),
+                box_cos=jnp.asarray(coss),
                 box_sin=jnp.asarray(sins),
                 box_off=jnp.asarray(np.stack([b[4] for b in self.boxes]), f32),
                 box_mat=jnp.asarray([b[5] for b in self.boxes], np.int32),
                 n_boxes=len(self.boxes),
-                has_rotated_boxes=bool(np.any(sins != 0.0)),
+                # a 180-degree rotation has sin == 0 but cos == -1, so the
+                # gate must consider both components
+                has_rotated_boxes=bool(np.any((sins != 0.0) | (coss != 1.0))),
             )
 
         if self.media:

@@ -1,3 +1,3 @@
-from art_tpu.utils import ppm, images, metrics
+from art_tpu.utils import ppm, images
 
-__all__ = ["ppm", "images", "metrics"]
+__all__ = ["ppm", "images"]

@@ -42,3 +42,40 @@ def test_mismatched_checkpoint_ignored(tmp_path):
     with_ck, _ = render_scene(scene, cfg2, checkpoint_path=ckpt)
     without, _ = render_scene(scene, cfg2)
     np.testing.assert_allclose(with_ck, without, rtol=1e-6)
+
+
+def test_wrong_scene_checkpoint_ignored(tmp_path):
+    """A checkpoint saved for scene A must not resume scene B (same config)."""
+    cfg = RenderConfig(nx=32, ny=18, spp=4, max_depth=6)
+    ckpt = str(tmp_path / "ck.npz")
+    scene_a = build_scene("three_spheres", 32, 18)
+    render_scene(scene_a, cfg, checkpoint_path=ckpt)
+    scene_b = build_scene("quads", 32, 18)
+    with_ck, _ = render_scene(scene_b, cfg, checkpoint_path=ckpt)
+    without, _ = render_scene(scene_b, cfg)
+    np.testing.assert_allclose(with_ck, without, rtol=1e-6)
+
+
+def test_extensionless_checkpoint_path_roundtrips(tmp_path):
+    """np.savez appends '.npz'; resume must find the same file."""
+    cfg = RenderConfig(nx=32, ny=18, spp=4, max_depth=6)
+    ckpt = str(tmp_path / "ck")  # no extension
+    scene = build_scene("three_spheres", 32, 18)
+    full, _ = render_scene(scene, cfg, checkpoint_path=ckpt)
+    assert (tmp_path / "ck.npz").exists()
+    # resume from the completed checkpoint: all dispatches skipped,
+    # identical output
+    resumed, stats = render_scene(scene, cfg, checkpoint_path=ckpt)
+    np.testing.assert_allclose(resumed, full, rtol=1e-6)
+    assert stats["iterations"] == 0  # nothing re-rendered
+
+
+def test_corrupt_checkpoint_falls_back_to_fresh(tmp_path):
+    """A truncated archive (kill mid-save) must not crash the resume."""
+    cfg = RenderConfig(nx=32, ny=18, spp=4, max_depth=6)
+    ckpt = tmp_path / "ck.npz"
+    ckpt.write_bytes(b"PK\x03\x04 this is not a real zip")
+    scene = build_scene("three_spheres", 32, 18)
+    with_ck, _ = render_scene(scene, cfg, checkpoint_path=str(ckpt))
+    without, _ = render_scene(scene, cfg)
+    np.testing.assert_allclose(with_ck, without, rtol=1e-6)

@@ -242,3 +242,29 @@ def test_medium_blocked_by_closer_surface():
     # wall at z=-5 is before the medium entry at z=-6: must hit the wall
     assert bool(rec.hit[0])
     np.testing.assert_allclose(float(rec.t[0]), 5.0, rtol=1e-5)
+
+
+def test_box_rotated_180_degrees():
+    """sin(180deg) == 0 but cos == -1: the rotation must not be skipped
+    (regression: has_rotated_boxes was gated on sin != 0 only)."""
+    obj = Translate(RotateY(Box((0, 0, 0), (2, 1, 1), MAT), 180.0), (0, 0, -5))
+    sc = _scene(obj)
+    assert sc.tables.has_rotated_boxes
+    # rotated box occupies x in [-2, 0], z in [-6, -5] after the translate;
+    # the unrotated box would occupy x in [0, 2] and this ray would miss
+    o, d, tm = _rays([[-1, 0.5, 0]], [[0, 0, -1]])
+    rec = intersect.closest_surface(sc.tables, o, d, tm, T_MIN)
+    assert bool(rec.hit[0])
+    np.testing.assert_allclose(float(rec.t[0]), 5.0, rtol=1e-4)
+    np.testing.assert_allclose(rec.normal[0], [0, 0, 1], atol=1e-5)
+
+
+def test_medium_boundary_restriction_raises():
+    """Any non-Sphere/Box medium boundary fails fast at scene build with a
+    clear message (documented capability gap vs src/constant_medium.cuh)."""
+    import pytest
+
+    quad_boundary = Quad((0, 0, -5), (1, 0, 0), (0, 1, 0), MAT)
+    med = ConstantMedium(quad_boundary, 0.5, (1, 1, 1))
+    with pytest.raises(TypeError, match="Sphere or Box"):
+        _scene(med)
