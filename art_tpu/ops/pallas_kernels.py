@@ -139,6 +139,7 @@ def sphere_hit_attrs_planar(
     n_spheres: int,
     moving: bool,
     needs_uv: bool,
+    interpret: bool = False,
 ):
     """Per-ray closest sphere hit with attributes:
     returns (t, normal 3-tuple, u, v, mat), each (R,).
@@ -161,6 +162,7 @@ def sphere_hit_attrs_planar(
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
         out_specs=(ray_spec,) * 5,
         out_shape=(f32, f32, f32, f32, i32),
+        interpret=interpret,
     )(sph_packed, *comps)
     normal = (nx.reshape(R), ny.reshape(R), nz.reshape(R))
     if needs_uv:
@@ -263,6 +265,7 @@ def quad_closest_hit_planar(
     d,
     *,
     n_quads: int,
+    interpret: bool = False,
 ):
     R = o[0].shape[0]
     rows, grid, ray_spec = _ray_grid(R)
@@ -280,6 +283,7 @@ def quad_closest_hit_planar(
             jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
         ),
+        interpret=interpret,
     )(qd_packed, *comps)
     return t_out.reshape(R), idx_out.reshape(R)
 
@@ -482,6 +486,7 @@ def box_hit_attrs_planar(
     *,
     n_boxes: int,
     rotated: bool,
+    interpret: bool = False,
 ):
     """Per-ray closest box hit with attributes:
     returns (t, normal 3-tuple, u, v, mat), each (R,)."""
@@ -502,6 +507,7 @@ def box_hit_attrs_planar(
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 6,
         out_specs=(ray_spec,) * 7,
         out_shape=(f32, f32, f32, f32, f32, f32, i32),
+        interpret=interpret,
     )(bx_packed, *comps)
     return (
         t.reshape(R),
