@@ -102,6 +102,18 @@ def _use_pallas(R: int) -> bool:
     return jax.default_backend() == "tpu" and R % RAY_BLOCK == 0
 
 
+# Block-synchronous cluster culling is opt-in: measured end-to-end it LOSES
+# on the mixed wavefront pool (bouncing -6%, final_scene -18% — scattered
+# survivor rays defeat block-level skips; docs/PERF_NOTES.md r2).  The
+# kernels stay as validated infrastructure for a coherence-restructured
+# integrator (coherent primary-ray phases), where they win 1.6x+.
+_CLUSTER_ENV = bool(os.environ.get("ART_TPU_CLUSTER"))
+
+
+def _no_cluster() -> bool:
+    return not _CLUSTER_ENV
+
+
 # --------------------------------------------------------------------------
 # Candidate passes (jnp reference implementations, planar inputs)
 # --------------------------------------------------------------------------
@@ -365,11 +377,18 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
     if tables.n_spheres:
         if use_pallas:
             # Winner attributes come out of the kernel — no table gather.
-            t_s, n_s, u_s, v_s, m_s = pk.sphere_hit_attrs_planar(
-                tables.sph_packed, o, d, time,
-                n_spheres=tables.n_spheres, moving=tables.has_moving,
-                needs_uv=needs_uv,
-            )
+            if tables.n_sphere_clusters and not _no_cluster():
+                t_s, n_s, u_s, v_s, m_s = pk.sphere_hit_attrs_clustered(
+                    tables.sph_cl_packed, tables.sph_cl_box, o, d, time,
+                    n_clusters=tables.n_sphere_clusters,
+                    moving=tables.has_moving, needs_uv=needs_uv,
+                )
+            else:
+                t_s, n_s, u_s, v_s, m_s = pk.sphere_hit_attrs_planar(
+                    tables.sph_packed, o, d, time,
+                    n_spheres=tables.n_spheres, moving=tables.has_moving,
+                    needs_uv=needs_uv,
+                )
             sph_attrs = (n_s, u_s, v_s, m_s)
         else:
             t_s, idx_s = sphere_candidates_p(tables, o, d, time, t_min)
@@ -390,10 +409,17 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
     box_attrs = None
     if tables.n_boxes:
         if use_pallas:
-            t_b, n_b, u_b, v_b, m_b = pk.box_hit_attrs_planar(
-                tables.box_packed, o, d,
-                n_boxes=tables.n_boxes, rotated=tables.has_rotated_boxes,
-            )
+            if tables.n_box_clusters and not _no_cluster():
+                t_b, n_b, u_b, v_b, m_b = pk.box_hit_attrs_clustered(
+                    tables.box_cl_packed, tables.box_cl_box, o, d,
+                    n_clusters=tables.n_box_clusters,
+                    rotated=tables.has_rotated_boxes,
+                )
+            else:
+                t_b, n_b, u_b, v_b, m_b = pk.box_hit_attrs_planar(
+                    tables.box_packed, o, d,
+                    n_boxes=tables.n_boxes, rotated=tables.has_rotated_boxes,
+                )
             box_attrs = (n_b, u_b, v_b, m_b)
         else:
             t_b, idx_b = box_candidates_p(tables, o, d, t_min)

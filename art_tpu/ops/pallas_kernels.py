@@ -177,6 +177,196 @@ def sphere_hit_attrs_planar(
     return t.reshape(R), normal, u, v, mat.reshape(R)
 
 
+# ---------------------------------------------------------------------------
+# Block-synchronous cluster culling (2-level BVH, TPU-native)
+# ---------------------------------------------------------------------------
+
+SPHERE_CLUSTER = 8  # spheres per cluster (BVH-leaf-order groups)
+
+
+def _sphere_cluster_kernel(sph_ref, cl_ref, ox_ref, oy_ref, oz_ref,
+                           dx_ref, dy_ref, dz_ref, tm_ref,
+                           t_ref, nx_ref, ny_ref, nz_ref, mat_ref,
+                           bt_s, bcx_s, bcy_s, bcz_s, br_s, bm_s,
+                           *, n_clusters: int, t_min: float, moving: bool):
+    """Closest sphere hit with block-level cluster culling.
+
+    The per-ray recursive BVH of the reference (src/bvh.cuh:95-106) has no
+    efficient vector form (divergent pointer chasing); the TPU-native
+    equivalent is block-synchronous: spheres are packed in BVH-leaf order
+    into clusters of SPHERE_CLUSTER with precomputed union AABBs, and each
+    cluster is slab-tested against the whole ray block (bounded by the
+    running per-lane best_t, the shrinking-tmax trick of bvh.cuh:97).  If no
+    lane can hit the cluster, its candidates are skipped with @pl.when —
+    saving both the vector math and the per-sphere scalar-load overhead.
+    Results are exactly equal to the brute-force kernel (the slab test is
+    conservative).
+    """
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tm = tm_ref[:]
+
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+    ix = 1.0 / _safe_div_dir(dx)
+    iy = 1.0 / _safe_div_dir(dy)
+    iz = 1.0 / _safe_div_dir(dz)
+
+    bt_s[:] = jnp.full(ox.shape, BIG, jnp.float32)
+    bcx_s[:] = jnp.zeros(ox.shape, jnp.float32)
+    bcy_s[:] = jnp.zeros(ox.shape, jnp.float32)
+    bcz_s[:] = jnp.zeros(ox.shape, jnp.float32)
+    br_s[:] = jnp.ones(ox.shape, jnp.float32)
+    bm_s[:] = jnp.zeros(ox.shape, jnp.float32)
+
+    def candidate(s):
+        cx = sph_ref[s, 0]
+        cy = sph_ref[s, 1]
+        cz = sph_ref[s, 2]
+        r = sph_ref[s, 6]
+        m = sph_ref[s, 7]
+        if moving:
+            cx = cx + tm * sph_ref[s, 3]
+            cy = cy + tm * sph_ref[s, 4]
+            cz = cz + tm * sph_ref[s, 5]
+        ocx = ox - cx
+        ocy = oy - cy
+        ocz = oz - cz
+        b = ocx * dx + ocy * dy + ocz * dz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b - sq) * inv_a
+        t2 = (-b + sq) * inv_a
+        cand = jnp.where(t1 > t_min, t1, t2)
+        ok = (disc > 0.0) & (cand > t_min)
+        return cand, cx, cy, cz, r, m, ok
+
+    def cluster_body(c, _):
+        mn_x = cl_ref[c, 0]
+        mn_y = cl_ref[c, 1]
+        mn_z = cl_ref[c, 2]
+        mx_x = cl_ref[c, 3]
+        mx_y = cl_ref[c, 4]
+        mx_z = cl_ref[c, 5]
+        tax = (mn_x - ox) * ix
+        tbx = (mx_x - ox) * ix
+        tay = (mn_y - oy) * iy
+        tby = (mx_y - oy) * iy
+        taz = (mn_z - oz) * iz
+        tbz = (mx_z - oz) * iz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(tax, tbx), jnp.minimum(tay, tby)),
+            jnp.minimum(taz, tbz),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(tax, tbx), jnp.maximum(tay, tby)),
+            jnp.maximum(taz, tbz),
+        )
+        hit = jnp.maximum(t0, t_min) <= jnp.minimum(t1, bt_s[:])
+
+        @pl.when(jnp.any(hit))
+        def _():
+            best_t = bt_s[:]
+            bcx = bcx_s[:]
+            bcy = bcy_s[:]
+            bcz = bcz_s[:]
+            br = br_s[:]
+            bm = bm_s[:]
+            for k in range(SPHERE_CLUSTER):
+                t, cx, cy, cz, r, m, ok = candidate(c * SPHERE_CLUSTER + k)
+                better = ok & (t < best_t)
+                best_t = jnp.where(better, t, best_t)
+                bcx = jnp.where(better, cx, bcx)
+                bcy = jnp.where(better, cy, bcy)
+                bcz = jnp.where(better, cz, bcz)
+                br = jnp.where(better, r, br)
+                bm = jnp.where(better, m, bm)
+            bt_s[:] = best_t
+            bcx_s[:] = bcx
+            bcy_s[:] = bcy
+            bcz_s[:] = bcz
+            br_s[:] = br
+            bm_s[:] = bm
+
+        return 0
+
+    jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
+
+    best_t = bt_s[:]
+    inv_r = 1.0 / br_s[:]
+    t_ref[:] = best_t
+    nx_ref[:] = (ox + best_t * dx - bcx_s[:]) * inv_r
+    ny_ref[:] = (oy + best_t * dy - bcy_s[:]) * inv_r
+    nz_ref[:] = (oz + best_t * dz - bcz_s[:]) * inv_r
+    mat_ref[:] = bm_s[:].astype(jnp.int32)
+
+
+def sphere_hit_attrs_clustered(
+    sph_cl_packed: jnp.ndarray,  # (S_pad, 8) BVH-leaf-ordered sphere rows
+    sph_cl_box: jnp.ndarray,  # (C, 8) cluster AABBs [min(3) max(3) 0 0]
+    o,  # 3-tuple of (R,) planes
+    d,
+    tm: jnp.ndarray,
+    *,
+    n_clusters: int,
+    moving: bool,
+    needs_uv: bool,
+    interpret: bool = False,
+):
+    """Cluster-culled equivalent of sphere_hit_attrs_planar (same outputs)."""
+    R = o[0].shape[0]
+    rows, grid, ray_spec = _ray_grid(R)
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    comps = tuple(plane(c) for c in (*o, *d, tm))
+    f32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    scratch = [pltpu.VMEM((_SUBLANES, _LANES), jnp.float32)] * 6
+    t, nx, ny, nz, mat = pl.pallas_call(
+        functools.partial(
+            _sphere_cluster_kernel,
+            n_clusters=n_clusters, t_min=1e-3, moving=moving,
+        ),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 + [ray_spec] * 7,
+        out_specs=(ray_spec,) * 5,
+        out_shape=(f32, f32, f32, f32, i32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(sph_cl_packed, sph_cl_box, *comps)
+    normal = (nx.reshape(R), ny.reshape(R), nz.reshape(R))
+    if needs_uv:
+        theta = jnp.arccos(jnp.clip(-normal[1], -1.0, 1.0))
+        phi = jnp.arctan2(-normal[2], normal[0]) + jnp.pi
+        u = phi * (0.5 / jnp.pi)
+        v = theta * (1.0 / jnp.pi)
+    else:
+        u = v = jnp.zeros((R,), jnp.float32)
+    return t.reshape(R), normal, u, v, mat.reshape(R)
+
+
+def cluster_spheres(tables):
+    """Host-side: BVH-leaf-order sphere clustering for the culled kernel.
+
+    Returns (sph_cl_packed (S_pad, 8), sph_cl_box (C, 8), n_clusters)."""
+    import numpy as np
+
+    from art_tpu.ops.bvh import cluster_primitives, sphere_world_bounds
+
+    bmin, bmax = sphere_world_bounds(
+        np.asarray(tables.sph_center), np.asarray(tables.sph_vel),
+        np.asarray(tables.sph_radius),
+    )
+    packed = np.asarray(pack_spheres(tables))[: tables.n_spheres]
+    reordered, boxes, n_cl, _ = cluster_primitives(
+        bmin, bmax, packed, SPHERE_CLUSTER
+    )
+    return jnp.asarray(reordered), jnp.asarray(boxes), n_cl
+
+
 @functools.partial(jax.jit, static_argnames=("n_spheres", "moving"))
 def sphere_closest_hit_pallas(
     sph_packed: jnp.ndarray,
@@ -400,6 +590,21 @@ def _box_kernel(bx_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     (best_t, mnx, mny, mnz, mxx, mxy, mxz,
      ct, st, offx, offy, offz, bm) = jax.lax.fori_loop(0, nu, body, init)
 
+    _box_write_winner_attrs(
+        ox, oy, oz, dx, dy, dz, best_t,
+        mnx, mny, mnz, mxx, mxy, mxz, ct, st, offx, offy, offz, bm,
+        t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, mat_ref,
+        rotated=rotated,
+    )
+
+
+def _box_write_winner_attrs(ox, oy, oz, dx, dy, dz, best_t,
+                            mnx, mny, mnz, mxx, mxy, mxz, ct, st,
+                            offx, offy, offz, bm,
+                            t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref,
+                            mat_ref, *, rotated: bool):
+    """Shared post-pass: face identification + make_box UV for the winning
+    box (src/quad.cuh:145-162), written to the output refs."""
     # --- winner attributes: re-run the slab once for face identification ---
     lox = ox - offx
     loy = oy - offy
@@ -516,6 +721,192 @@ def box_hit_attrs_planar(
         v.reshape(R),
         mat.reshape(R),
     )
+
+
+BOX_CLUSTER = 4  # boxes per cluster (BVH-leaf-order groups)
+
+
+def _box_cluster_kernel(bx_ref, cl_ref, ox_ref, oy_ref, oz_ref,
+                        dx_ref, dy_ref, dz_ref,
+                        t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, mat_ref,
+                        scratch,
+                        *, n_clusters: int, t_min: float, rotated: bool):
+    """Closest box hit with block-level cluster culling (see
+    _sphere_cluster_kernel for the design rationale).  The 13 winner
+    parameters live in one (13, SUB, LANES) VMEM scratch buffer."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    wix = 1.0 / _safe_div_dir(dx)
+    wiy = 1.0 / _safe_div_dir(dy)
+    wiz = 1.0 / _safe_div_dir(dz)
+
+    zeros = jnp.zeros(ox.shape, jnp.float32)
+    scratch[0] = jnp.full(ox.shape, BIG, jnp.float32)  # best_t
+    for i in (1, 2, 3):  # bmin
+        scratch[i] = zeros
+    for i in (4, 5, 6):  # bmax
+        scratch[i] = zeros + 1.0
+    scratch[7] = zeros + 1.0  # cos
+    scratch[8] = zeros  # sin
+    for i in (9, 10, 11):  # off
+        scratch[i] = zeros
+    scratch[12] = zeros  # mat
+
+    def candidate(b):
+        mnx, mny, mnz = bx_ref[b, 0], bx_ref[b, 1], bx_ref[b, 2]
+        mxx, mxy, mxz = bx_ref[b, 3], bx_ref[b, 4], bx_ref[b, 5]
+        offx, offy, offz = bx_ref[b, 8], bx_ref[b, 9], bx_ref[b, 10]
+        m = bx_ref[b, 11]
+
+        lox = ox - offx
+        loy = oy - offy
+        loz = oz - offz
+        ldx, ldy, ldz = dx, dy, dz
+        if rotated:
+            ct, st = bx_ref[b, 6], bx_ref[b, 7]
+            lox, loz = ct * lox - st * loz, st * lox + ct * loz
+            ldx, ldz = ct * ldx - st * ldz, st * ldx + ct * ldz
+        else:
+            ct = jnp.float32(1.0)
+            st = jnp.float32(0.0)
+
+        ix = 1.0 / _safe_div_dir(ldx)
+        iy = 1.0 / _safe_div_dir(ldy)
+        iz = 1.0 / _safe_div_dir(ldz)
+        tax = (mnx - lox) * ix
+        tbx = (mxx - lox) * ix
+        tay = (mny - loy) * iy
+        tby = (mxy - loy) * iy
+        taz = (mnz - loz) * iz
+        tbz = (mxz - loz) * iz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(tax, tbx), jnp.minimum(tay, tby)),
+            jnp.minimum(taz, tbz),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(tax, tbx), jnp.maximum(tay, tby)),
+            jnp.maximum(taz, tbz),
+        )
+        through = t0 < t1
+        t = jnp.where(
+            through & (t0 > t_min),
+            t0,
+            jnp.where(through & (t1 > t_min), t1, BIG),
+        )
+        return t, (mnx, mny, mnz, mxx, mxy, mxz, ct, st, offx, offy, offz, m)
+
+    def cluster_body(c, _):
+        mn_x = cl_ref[c, 0]
+        mn_y = cl_ref[c, 1]
+        mn_z = cl_ref[c, 2]
+        mx_x = cl_ref[c, 3]
+        mx_y = cl_ref[c, 4]
+        mx_z = cl_ref[c, 5]
+        tax = (mn_x - ox) * wix
+        tbx = (mx_x - ox) * wix
+        tay = (mn_y - oy) * wiy
+        tby = (mx_y - oy) * wiy
+        taz = (mn_z - oz) * wiz
+        tbz = (mx_z - oz) * wiz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(tax, tbx), jnp.minimum(tay, tby)),
+            jnp.minimum(taz, tbz),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(tax, tbx), jnp.maximum(tay, tby)),
+            jnp.maximum(taz, tbz),
+        )
+        hit = jnp.maximum(t0, t_min) <= jnp.minimum(t1, scratch[0])
+
+        @pl.when(jnp.any(hit))
+        def _():
+            carry = [scratch[i] for i in range(13)]
+            for k in range(BOX_CLUSTER):
+                t, params = candidate(c * BOX_CLUSTER + k)
+                better = t < carry[0]
+                carry[0] = jnp.where(better, t, carry[0])
+                for j, p in enumerate(params):
+                    carry[j + 1] = jnp.where(better, p, carry[j + 1])
+            for i in range(13):
+                scratch[i] = carry[i]
+
+        return 0
+
+    jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
+
+    _box_write_winner_attrs(
+        ox, oy, oz, dx, dy, dz, scratch[0],
+        scratch[1], scratch[2], scratch[3], scratch[4], scratch[5],
+        scratch[6], scratch[7], scratch[8], scratch[9], scratch[10],
+        scratch[11], scratch[12],
+        t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, mat_ref,
+        rotated=rotated,
+    )
+
+
+def box_hit_attrs_clustered(
+    box_cl_packed: jnp.ndarray,  # (B_pad, 12) BVH-leaf-ordered box rows
+    box_cl_box: jnp.ndarray,  # (C, 8) world-space cluster AABBs
+    o,
+    d,
+    *,
+    n_clusters: int,
+    rotated: bool,
+    interpret: bool = False,
+):
+    """Cluster-culled equivalent of box_hit_attrs_planar (same outputs)."""
+    R = o[0].shape[0]
+    rows, grid, ray_spec = _ray_grid(R)
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    comps = tuple(plane(c) for c in (*o, *d))
+    f32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    t, nx, ny, nz, u, v, mat = pl.pallas_call(
+        functools.partial(
+            _box_cluster_kernel,
+            n_clusters=n_clusters, t_min=1e-3, rotated=rotated,
+        ),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 + [ray_spec] * 6,
+        out_specs=(ray_spec,) * 7,
+        out_shape=(f32, f32, f32, f32, f32, f32, i32),
+        scratch_shapes=[pltpu.VMEM((13, _SUBLANES, _LANES), jnp.float32)],
+        interpret=interpret,
+    )(box_cl_packed, box_cl_box, *comps)
+    return (
+        t.reshape(R),
+        (nx.reshape(R), ny.reshape(R), nz.reshape(R)),
+        u.reshape(R),
+        v.reshape(R),
+        mat.reshape(R),
+    )
+
+
+def cluster_boxes(tables):
+    """Host-side: BVH-leaf-order box clustering for the culled kernel.
+
+    Returns (box_cl_packed (B_pad, 12), box_cl_box (C, 8), n_clusters)."""
+    import numpy as np
+
+    from art_tpu.ops.bvh import box_world_bounds, cluster_primitives
+
+    bmin, bmax = box_world_bounds(
+        np.asarray(tables.box_min), np.asarray(tables.box_max),
+        np.asarray(tables.box_cos), np.asarray(tables.box_sin),
+        np.asarray(tables.box_off),
+    )
+    packed = np.asarray(pack_boxes(tables))[: tables.n_boxes]
+    # pad rows must be inert: zero-size box at the origin never passes the
+    # strict t0 < t1 test
+    reordered, boxes, n_cl, _ = cluster_primitives(
+        bmin, bmax, packed, BOX_CLUSTER,
+        pad_row=np.array([0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0], np.float32),
+    )
+    return jnp.asarray(reordered), jnp.asarray(boxes), n_cl
 
 
 def pack_boxes(tables) -> jnp.ndarray:

@@ -459,11 +459,32 @@ class _Compiler:
 
         tables = SceneTables(**t)
         # Kernel-packed copies for the Pallas intersection path.
-        from art_tpu.ops.pallas_kernels import pack_boxes, pack_quads, pack_spheres
+        from art_tpu.ops.pallas_kernels import (
+            cluster_boxes,
+            cluster_spheres,
+            pack_boxes,
+            pack_quads,
+            pack_spheres,
+        )
 
-        return dataclasses.replace(
+        tables = dataclasses.replace(
             tables,
             sph_packed=pack_spheres(tables),
             quad_packed=pack_quads(tables),
             box_packed=pack_boxes(tables),
         )
+        # Cluster-culling copies (only worthwhile past a handful of
+        # primitives; below that the brute kernels win).
+        if tables.n_spheres >= 32:
+            scl, sbox, n_scl = cluster_spheres(tables)
+            tables = dataclasses.replace(
+                tables, sph_cl_packed=scl, sph_cl_box=sbox,
+                n_sphere_clusters=n_scl,
+            )
+        if tables.n_boxes >= 32:
+            bcl, bbox, n_bcl = cluster_boxes(tables)
+            tables = dataclasses.replace(
+                tables, box_cl_packed=bcl, box_cl_box=bbox,
+                n_box_clusters=n_bcl,
+            )
+        return tables

@@ -129,6 +129,12 @@ class SceneTables:
     sph_packed: jnp.ndarray  # (S, 8)  [cx cy cz vx vy vz radius mat]
     quad_packed: jnp.ndarray  # (Q, 12)
     box_packed: jnp.ndarray  # (B, 12)
+    # Cluster-culling copies (BVH-leaf order + per-cluster AABBs; the
+    # TPU-native 2-level BVH, ops/pallas_kernels.py)
+    sph_cl_packed: jnp.ndarray  # (S_pad, 8)
+    sph_cl_box: jnp.ndarray  # (Cs, 8) [min(3) max(3) 0 0]
+    box_cl_packed: jnp.ndarray  # (B_pad, 12)
+    box_cl_box: jnp.ndarray  # (Cb, 8)
     # ---- row-packed lookup tables (one fetch per bounce; see ops/gather) ----
     mat_packed: jnp.ndarray  # (M, 8)  [type tex fuzz ref_idx r g b mat?]
     tex_packed: jnp.ndarray  # (T, 18) [type p0..p7 child0 child1 img rgb(3) rgb2(3)]
@@ -139,6 +145,8 @@ class SceneTables:
     n_quads: int = _static()
     n_boxes: int = _static()
     n_media: int = _static()
+    n_sphere_clusters: int = _static()
+    n_box_clusters: int = _static()
     med_kinds: tuple = _static()  # per-medium boundary kind: 0=sphere, 1=box
     has_moving: bool = _static()
     has_rotated_boxes: bool = _static()
@@ -198,6 +206,10 @@ def empty_tables() -> dict:
         sph_packed=_z((1, 8)),
         quad_packed=_z((1, 12)),
         box_packed=_z((1, 12)),
+        sph_cl_packed=_z((1, 8)),
+        sph_cl_box=_z((1, 8)),
+        box_cl_packed=_z((1, 12)),
+        box_cl_box=_z((1, 8)),
         mat_packed=_z((1, 8)),
         tex_packed=_z((1, 18)),
         quad_attr_packed=_z((1, 16)),
@@ -205,6 +217,8 @@ def empty_tables() -> dict:
         n_quads=0,
         n_boxes=0,
         n_media=0,
+        n_sphere_clusters=0,
+        n_box_clusters=0,
         med_kinds=(),
         has_moving=False,
         has_rotated_boxes=False,

@@ -1,13 +1,18 @@
-"""Benchmark: book-1 final scene (bouncing spheres) on the real chip.
+"""Benchmark: per-scene throughput sweep on the real chip.
 
-BASELINE.json metric: Mrays/sec/chip + sec/frame at 1200x800 @ 500 spp.
-The reference publishes no numbers (BASELINE.md); the driver-set north star
-is >= 100 Mrays/s/chip on TPU v5e.  ``vs_baseline`` is measured Mrays/s
-divided by that target.
+Headline metric (BASELINE.json): Mrays/sec/chip + sec/frame at 1200x800
+@ 500 spp on the book-1 final scene (bouncing spheres).  The reference
+publishes no numbers (BASELINE.md); the driver-set north star is >= 100
+Mrays/s/chip on TPU v5e.  ``vs_baseline`` is measured Mrays/s divided by
+that target.
+
+Also measures cornell_smoke (quads + media) and final_scene (boxes +
+media + every texture) at reduced spp so a regression in the non-sphere
+kernels shows up in BENCH_r*.json (VERDICT r1 weakness #4).
 
 Prints ONE JSON line on stdout.  Wall-clock-bounded: renders fixed-shape
-sample chunks (one compiled program) and reports the steady-state ray
-throughput plus the extrapolated full-frame time.
+sample chunks (one compiled program per scene) and reports steady-state
+ray throughput plus the extrapolated full-frame time.
 """
 
 from __future__ import annotations
@@ -19,35 +24,56 @@ import time
 NX, NY, SPP_FULL = 1200, 800, 500
 SPP_CHUNK = 500  # one compiled program; deep queue keeps pool occupancy high
 TARGET_MRAYS = 100.0
-TIME_BUDGET_S = 180.0
+TIME_BUDGET_S = 150.0
+
+# secondary scenes: (nx, ny, spp per measured chunk, time budget)
+SWEEP = [
+    ("cornell_smoke", 600, 600, 200, 60.0),
+    ("final_scene", 800, 800, 100, 90.0),
+]
 
 
-def main() -> None:
+def measure(name, nx, ny, spp, budget_s):
     from art_tpu.models import build_scene
     from art_tpu.render.renderer import RenderConfig, render_scene
 
-    scene = build_scene("bouncing_spheres", NX, NY)
-    cfg = RenderConfig(nx=NX, ny=NY, spp=SPP_CHUNK)
-
-    print("bench: warm-up compile...", file=sys.stderr)
+    scene = build_scene(name, nx, ny)
+    cfg = RenderConfig(nx=nx, ny=ny, spp=spp)
+    print(f"bench[{name}]: warm-up compile...", file=sys.stderr)
     render_scene(scene, cfg)  # compile + first run
-
-    spp_done = 0
     total_rays = 0.0
     total_secs = 0.0
+    spp_done = 0
     start = time.perf_counter()
-    while spp_done < SPP_FULL and (time.perf_counter() - start) < TIME_BUDGET_S:
+    while (time.perf_counter() - start) < budget_s:
         _, stats = render_scene(scene, cfg)
-        spp_done += stats["spp"]
         total_rays += stats["rays"]
         total_secs += stats["seconds"]
+        spp_done += stats["spp"]
         print(
-            f"bench: spp={spp_done} rate={stats['mrays_per_sec']:.2f} Mrays/s",
+            f"bench[{name}]: spp={spp_done} rate={stats['mrays_per_sec']:.2f} Mrays/s",
             file=sys.stderr,
         )
-
+        if spp_done >= SPP_FULL:
+            break
     mrays = total_rays / total_secs / 1e6 if total_secs > 0 else 0.0
-    sec_per_frame = total_secs * (SPP_FULL / max(spp_done, 1))
+    return mrays, total_secs, spp_done
+
+
+def main() -> None:
+    mrays, secs, spp_done = measure(
+        "bouncing_spheres", NX, NY, SPP_CHUNK, TIME_BUDGET_S
+    )
+    sec_per_frame = secs * (SPP_FULL / max(spp_done, 1))
+
+    per_scene = {"bouncing_spheres": round(mrays, 3)}
+    for name, nx, ny, spp, budget in SWEEP:
+        try:
+            m, _, _ = measure(name, nx, ny, spp, budget)
+            per_scene[name] = round(m, 3)
+        except Exception as e:  # a sweep failure must not kill the headline
+            print(f"bench[{name}]: FAILED {e!r}", file=sys.stderr)
+            per_scene[name] = None
 
     result = {
         "metric": "Mrays_per_sec_per_chip(bouncing_spheres 1200x800)",
@@ -56,6 +82,7 @@ def main() -> None:
         "vs_baseline": round(mrays / TARGET_MRAYS, 4),
         "sec_per_frame_500spp": round(sec_per_frame, 2),
         "spp_measured": spp_done,
+        "per_scene_mrays": per_scene,
     }
     print(json.dumps(result))
 

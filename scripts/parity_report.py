@@ -7,10 +7,16 @@ luminance correlation.  Expect: high correlation for deterministic scenes;
 bouncing_spheres is only *distributionally* comparable (curand scene
 layout differs, SURVEY.md §7).
 
+Writes the committed artifact docs/parity_report.json (replaces the
+docstring-quoted numbers flagged in VERDICT r1 weakness #3).
+
 Usage: python scripts/parity_report.py [scene ...]
 """
 
+import json
+import os
 import sys
+import time
 
 import numpy as np
 from PIL import Image
@@ -46,6 +52,12 @@ def downsample(img: np.ndarray, w: int, h: int) -> np.ndarray:
 
 def main():
     names = sys.argv[1:] or list(MAPPING)
+    report = {
+        "generated": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "grid": list(GRID),
+        "render_nx": 240,
+        "scenes": {},
+    }
     print(f"{'scene':20s} {'mean_ours':>22s} {'mean_gold':>22s} {'corr':>6s}")
     for name in names:
         golden_file, spp = MAPPING[name]
@@ -69,6 +81,16 @@ def main():
             f"{np.array2string(b.mean((0,1)), precision=3):>22s} {corr:6.3f}",
             flush=True,
         )
+        report["scenes"][name] = {
+            "golden": golden_file,
+            "spp": spp,
+            "corr": round(corr, 4),
+            "mean_ours": np.round(a.mean((0, 1)), 4).tolist(),
+            "mean_gold": np.round(b.mean((0, 1)), 4).tolist(),
+            "mean_abs_diff": round(
+                float(np.abs(a.mean((0, 1)) - b.mean((0, 1))).max()), 4
+            ),
+        }
         side = np.concatenate(
             [downsample(ours, gw // 4, gh // 4), downsample(gold, gw // 4, gh // 4)],
             axis=1,
@@ -76,6 +98,14 @@ def main():
         Image.fromarray((side * 255).astype(np.uint8)).save(
             f"/root/repo/out/parity_{name}.png"
         )
+
+    out_path = os.path.join(
+        os.path.dirname(__file__), "..", "docs", "parity_report.json"
+    )
+    if len(names) == len(MAPPING):  # only overwrite on a full run
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {os.path.normpath(out_path)}", flush=True)
 
 
 if __name__ == "__main__":

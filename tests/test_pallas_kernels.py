@@ -191,3 +191,76 @@ def test_box_kernel_matches_jnp_axis_aligned():
     np.testing.assert_allclose(
         np.asarray(t_k)[hit], np.asarray(t_j)[hit], rtol=2e-5, atol=1e-3
     )
+
+
+def test_sphere_cluster_kernel_matches_brute():
+    """Block-synchronous cluster culling must be exactly equal to the
+    brute-force kernel (the slab test is conservative)."""
+    tables = build_scene("bouncing_spheres", 64, 32).tables
+    assert tables.n_sphere_clusters > 0
+    o, d, tm = _ray_batch(5, RB)
+
+    t_c, n_c, u_c, v_c, m_c = pk.sphere_hit_attrs_clustered(
+        tables.sph_cl_packed, tables.sph_cl_box, o, d, tm,
+        n_clusters=tables.n_sphere_clusters, moving=tables.has_moving,
+        needs_uv=True, interpret=True,
+    )
+    t_b, n_b, u_b, v_b, m_b = pk.sphere_hit_attrs_planar(
+        tables.sph_packed, o, d, tm,
+        n_spheres=tables.n_spheres, moving=tables.has_moving,
+        needs_uv=True, interpret=True,
+    )
+    hit = _hit_mask(t_b)
+    assert hit.any()
+    np.testing.assert_array_equal(_hit_mask(t_c), hit)
+    # identical candidate math over the same sphere set -> near bit-equal
+    # (order-of-min differences only on exact fp ties)
+    tight = _assert_two_tier(
+        np.asarray(t_c)[hit], np.asarray(t_b)[hit],
+        tight_rtol=1e-6, tight_atol=1e-6, frac=0.999,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_c)[hit][tight], np.asarray(m_b)[hit][tight]
+    )
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(n_c[c])[hit][tight], np.asarray(n_b[c])[hit][tight],
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_box_cluster_kernel_matches_brute():
+    """final_scene: 400+ axis-aligned ground boxes through the clustered
+    box kernel vs brute force."""
+    tables = build_scene("final_scene", 64, 64).tables
+    assert tables.n_box_clusters > 0
+    o, d, tm = _ray_batch(6, RB, origin_span=2200.0, origin_center=(0, 200, 0))
+
+    t_c, n_c, u_c, v_c, m_c = pk.box_hit_attrs_clustered(
+        tables.box_cl_packed, tables.box_cl_box, o, d,
+        n_clusters=tables.n_box_clusters, rotated=tables.has_rotated_boxes,
+        interpret=True,
+    )
+    t_b, n_b, u_b, v_b, m_b = pk.box_hit_attrs_planar(
+        tables.box_packed, o, d,
+        n_boxes=tables.n_boxes, rotated=tables.has_rotated_boxes,
+        interpret=True,
+    )
+    hit = _hit_mask(t_b)
+    assert hit.any()
+    np.testing.assert_array_equal(_hit_mask(t_c), hit)
+    tight = _assert_two_tier(
+        np.asarray(t_c)[hit], np.asarray(t_b)[hit],
+        tight_rtol=1e-6, tight_atol=1e-5, frac=0.999,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_c)[hit][tight], np.asarray(m_b)[hit][tight]
+    )
+    np.testing.assert_allclose(
+        np.asarray(u_c)[hit][tight], np.asarray(u_b)[hit][tight],
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_c)[hit][tight], np.asarray(v_b)[hit][tight],
+        rtol=1e-4, atol=1e-4,
+    )

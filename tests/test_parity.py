@@ -1,15 +1,25 @@
-"""Statistical parity vs the reference golden renders (SURVEY.md §4).
+"""Statistical parity vs the reference golden renders — ALL 10 scenes
+(SURVEY.md §4; VERDICT r1 weakness #3).
 
-The reference's de-facto regression suite is its 18 golden PNGs.  These
-tests render cheap deterministic scenes on CPU and require the downsampled
-image statistics to match the goldens — the quantitative version of the
-reference's compare-by-eye workflow.
+The reference's de-facto regression suite is its golden PNGs.  These tests
+render every scene small on CPU and require downsampled image statistics
+to match:
 
-Measured parity on TPU at higher spp (scripts/parity_report.py):
-checkered 1.000 / perlin 0.999 / quads 1.000 / cornell 0.991 /
-simple_light 0.999 / final 0.998 / original 0.999 luminance correlation;
-bouncing_spheres is distributional only (curand scene layout differs).
+* 8 scenes gate against the reference golden (thresholds calibrated with
+  scripts/calibrate_parity.py, set with margin below measured values);
+* bouncing_spheres is *distributional only* — its curand-driven layout
+  differs from our host PRNG reproduction (SURVEY.md §7), so only the
+  per-channel means are gated against utk.png;
+* cornell_smoke and three_spheres have no reference golden — they gate
+  against committed self-goldens (tests/goldens/*.json, regenerate with
+  scripts/gen_self_goldens.py) so media/emission regressions turn CI red.
+
+scripts/parity_report.py emits the committed high-spp report
+(docs/parity_report.json).
 """
+
+import json
+import os
 
 import numpy as np
 import pytest
@@ -19,39 +29,97 @@ from art_tpu.models import build_scene
 from art_tpu.render.renderer import RenderConfig, render_scene
 
 GOLDEN_DIR = "/root/reference/images"
+SELF_GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 GRID = (16, 8)
 
 
-def _compare(name, golden_file, nx, spp, seed=3):
+def _down(img):
+    return np.asarray(
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).resize(
+            GRID, Image.BILINEAR
+        ),
+        np.float32,
+    ) / 255.0
+
+
+def _render_small(name, nx, ny, spp, seed=3):
+    scene = build_scene(name, nx, ny)
+    fb, _ = render_scene(scene, RenderConfig(nx=nx, ny=ny, spp=spp, seed=seed))
+    return _down(np.clip(fb[::-1], 0.0, 1.0))
+
+
+def _compare(name, golden_file, nx, spp):
     gold = np.asarray(
         Image.open(f"{GOLDEN_DIR}/{golden_file}").convert("RGB"), np.float32
     ) / 255.0
     gh, gw = gold.shape[:2]
     ny = max(8, int(round(nx * gh / gw)))
-    scene = build_scene(name, nx, ny)
-    fb, _ = render_scene(scene, RenderConfig(nx=nx, ny=ny, spp=spp, seed=seed))
-    ours = np.clip(fb[::-1], 0.0, 1.0)
-
-    def down(img):
-        return np.asarray(
-            Image.fromarray((img * 255).astype(np.uint8)).resize(GRID, Image.BILINEAR),
-            np.float32,
-        ) / 255.0
-
-    a, b = down(ours), down(gold)
+    a = _render_small(name, nx, ny, spp)
+    b = _down(gold)
     corr = float(np.corrcoef(a.mean(-1).ravel(), b.mean(-1).ravel())[0, 1])
     mean_diff = float(np.abs(a.mean((0, 1)) - b.mean((0, 1))).max())
     return corr, mean_diff
 
 
+# (scene, golden, nx, spp, min corr, max per-channel mean diff)
+# Calibrated values (scripts/calibrate_parity.py @ 96px):
+#   quads 1.000/.003  checkered .999/.019  perlin .998/.019
+#   earth 1.000/.006  simple_light .987/.015  cornell_box .973/.095
+#   final .995/.092   original .995/.025
+REFERENCE_GATES = [
+    ("quads", "quads.png", 96, 24, 0.99, 0.03),
+    ("checkered_spheres", "checkered.png", 96, 24, 0.98, 0.05),
+    ("perlin", "perlin.png", 96, 24, 0.98, 0.05),
+    ("earth", "textureWrap.png", 96, 24, 0.98, 0.03),
+    ("simple_light", "poolBall.png", 96, 48, 0.95, 0.05),
+    ("cornell_box", "cornellBox.png", 96, 48, 0.93, 0.13),
+    ("final_scene", "finalScene.png", 96, 24, 0.96, 0.13),
+    ("original_scene", "alfredo2.png", 96, 24, 0.96, 0.06),
+]
+
+
 @pytest.mark.parametrize(
-    "scene,golden,nx,spp",
-    [
-        ("quads", "quads.png", 96, 24),
-        ("checkered_spheres", "checkered.png", 96, 24),
-    ],
+    "scene,golden,nx,spp,min_corr,max_md",
+    REFERENCE_GATES,
+    ids=[g[0] for g in REFERENCE_GATES],
 )
-def test_golden_statistics(scene, golden, nx, spp):
+def test_golden_statistics(scene, golden, nx, spp, min_corr, max_md):
     corr, mean_diff = _compare(scene, golden, nx, spp)
-    assert corr > 0.95, f"{scene}: luminance correlation {corr:.3f}"
-    assert mean_diff < 0.06, f"{scene}: per-channel mean diff {mean_diff:.3f}"
+    assert corr > min_corr, f"{scene}: luminance correlation {corr:.3f}"
+    assert mean_diff < max_md, f"{scene}: per-channel mean diff {mean_diff:.3f}"
+
+
+def test_bouncing_spheres_distributional():
+    """curand scene layout differs (SURVEY.md §7): gate global statistics
+    only — overall brightness per channel vs the utk golden."""
+    gold = np.asarray(
+        Image.open(f"{GOLDEN_DIR}/utk.png").convert("RGB"), np.float32
+    ) / 255.0
+    a = _render_small("bouncing_spheres", 96, 48, spp=24)
+    b = _down(gold)
+    mean_diff = float(np.abs(a.mean((0, 1)) - b.mean((0, 1))).max())
+    assert mean_diff < 0.05, f"mean diff {mean_diff:.3f}"
+    # utk variant is dark-background: bottom (ground + emissives) brighter
+    # than the top sky rows in both images
+    assert a[-2:].mean() > a[:2].mean()
+    assert b[-2:].mean() > b[:2].mean()
+
+
+@pytest.mark.parametrize("scene", ["cornell_smoke", "three_spheres"])
+def test_self_golden_statistics(scene):
+    """Scenes without a reference golden gate against committed stats."""
+    with open(os.path.join(SELF_GOLDEN_DIR, f"{scene}.json")) as f:
+        ref = json.load(f)
+    a = _render_small(
+        scene, ref["nx"], ref["ny"], ref["spp"], seed=ref["seed"]
+    )
+    lum = a.mean(-1).ravel()
+    ref_lum = np.asarray(ref["lum"], np.float32)
+    corr = float(np.corrcoef(lum, ref_lum)[0, 1])
+    mean_diff = float(
+        np.abs(a.mean((0, 1)) - np.asarray(ref["mean_rgb"], np.float32)).max()
+    )
+    # identical seed + config: should be near-identical, generous tolerance
+    # for cross-version fp drift
+    assert corr > 0.99, f"{scene}: self-golden correlation {corr:.3f}"
+    assert mean_diff < 0.02, f"{scene}: self-golden mean diff {mean_diff:.3f}"
