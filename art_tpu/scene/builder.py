@@ -117,12 +117,19 @@ class _Compiler:
         # ~10 distinct parameter sets)
         self._mat_rows: dict[tuple, int] = {}
         self._tex_rows: dict[tuple, int] = {}
+        # The _mat_ids/_tex_ids/_img_ids caches key on id(obj); a temporary
+        # object (e.g. the Isotropic phase material built per medium) that
+        # gets garbage-collected lets a LATER object reuse the same id and
+        # silently inherit the wrong table row.  Pin every keyed object for
+        # the compiler's lifetime.
+        self._keepalive: list = []
 
     # -- textures --
     def tex_id(self, tex: X.Texture) -> int:
         key = id(tex)
         if key in self._tex_ids:
             return self._tex_ids[key]
+        self._keepalive.append(tex)
         row = dict(
             type=int(TexType.SOLID),
             rgb=(0.0, 0.0, 0.0),
@@ -200,6 +207,7 @@ class _Compiler:
         key = id(image)
         if key in self._img_ids:
             return self._img_ids[key]
+        self._keepalive.append(image)
         idx = len(self.images)
         self.images.append(np.asarray(image, np.uint8))
         self._img_ids[key] = idx
@@ -210,6 +218,7 @@ class _Compiler:
         key = id(mat)
         if key in self._mat_ids:
             return self._mat_ids[key]
+        self._keepalive.append(mat)
         row = dict(type=0, tex=0, rgb=(0.0, 0.0, 0.0), fuzz=0.0, ref_idx=1.0)
         if isinstance(mat, M.Lambertian):
             row["type"] = int(MatType.LAMBERTIAN)

@@ -268,3 +268,25 @@ def test_medium_boundary_restriction_raises():
     med = ConstantMedium(quad_boundary, 0.5, (1, 1, 1))
     with pytest.raises(TypeError, match="Sphere or Box"):
         _scene(med)
+
+
+def test_distinct_media_keep_distinct_phase_materials():
+    """Regression: the compiler's id()-keyed caches must pin temporaries.
+
+    Each ConstantMedium builds a temporary Isotropic phase material during
+    compile; if it is garbage-collected, a later medium's material can reuse
+    the same id() and silently inherit the first medium's albedo (observed
+    as cornell_smoke's white/black smokes collapsing to one color,
+    PYTHONHASHSEED-dependent)."""
+    import numpy as np
+
+    med_white = ConstantMedium(Sphere((0, 0, -5), 1.0, Dielectric(1.5)), 1.0, (1, 1, 1))
+    med_black = ConstantMedium(Sphere((0, 0, 5), 1.0, Dielectric(1.5)), 1.0, (0, 0, 0))
+    sc = _scene(med_white, med_black)
+    t = sc.tables
+    m0, m1 = int(t.med_mat[0]), int(t.med_mat[1])
+    assert m0 != m1
+    tex0 = int(t.mat_tex[m0])
+    tex1 = int(t.mat_tex[m1])
+    np.testing.assert_allclose(np.asarray(t.tex_rgb[tex0]), [1, 1, 1])
+    np.testing.assert_allclose(np.asarray(t.tex_rgb[tex1]), [0, 0, 0])
