@@ -72,6 +72,8 @@ def background_color(d: jnp.ndarray, bg: jnp.ndarray, gradient: bool) -> jnp.nda
 # Debug ablation flags, read once at import (never inside traced bodies).
 _DBG = __import__("os").environ.get("ART_TPU_DBG", "")
 _NO_FLUSH = bool(__import__("os").environ.get("ART_TPU_NO_FLUSH"))
+# Framebuffer flush strategy (perf experiment): aos | planar | drop | planar_drop
+_FLUSH = __import__("os").environ.get("ART_TPU_FLUSH", "aos")
 
 
 def _bounce_step(tables, o, d, tm, throughput, radiance, active, U, background, gradient_bg):
@@ -260,7 +262,11 @@ def render_wavefront(
         bounce=jnp.zeros((R,), jnp.int32),
         pix=jnp.zeros((R,), jnp.int32),
         active=jnp.zeros((R,), bool),
-        fb=jnp.zeros((P, 3), jnp.float32),
+        fb=(
+            tuple(jnp.zeros((P,), jnp.float32) for _ in range(3))
+            if _FLUSH.startswith("planar")
+            else jnp.zeros((P, 3), jnp.float32)
+        ),
         rays=jnp.float32(0.0),
     )
 
@@ -308,8 +314,30 @@ def render_wavefront(
         # ---- flush newly-terminated rays to the framebuffer ----
         died = active & ~still_alive
         if _NO_FLUSH:  # perf-debug only: wrong image
-            fb = st.fb.at[0, 0].add(jnp.sum(jnp.where(died, radiance[0], 0.0)))
-        else:
+            fb = jax.tree_util.tree_map(
+                lambda f: f.reshape(-1).at[0].add(
+                    jnp.sum(jnp.where(died, radiance[0], 0.0))
+                ).reshape(f.shape),
+                st.fb,
+            )
+        elif _FLUSH == "planar":
+            fb = tuple(
+                st.fb[c].at[pix].add(jnp.where(died, radiance[c], 0.0))
+                for c in range(3)
+            )
+        elif _FLUSH == "planar_drop":
+            pix_w = jnp.where(died, pix, P)
+            fb = tuple(
+                st.fb[c].at[pix_w].add(radiance[c], mode="drop")
+                for c in range(3)
+            )
+        elif _FLUSH == "drop":
+            # non-died lanes write out of range and are dropped: fewer
+            # effective writes and no where-masking of the payload
+            pix_w = jnp.where(died, pix, P)
+            flush = jnp.stack(radiance, axis=-1)
+            fb = st.fb.at[pix_w].add(flush, mode="drop")
+        else:  # "aos" (default)
             flush = jnp.stack(
                 [jnp.where(died, radiance[c], 0.0) for c in range(3)], axis=-1
             )
@@ -331,4 +359,9 @@ def render_wavefront(
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    return final.fb, final.rays, final.it
+    fb = (
+        jnp.stack(final.fb, axis=-1)
+        if isinstance(final.fb, tuple)
+        else final.fb
+    )
+    return fb, final.rays, final.it
