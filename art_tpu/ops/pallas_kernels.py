@@ -48,7 +48,8 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     tm = tm_ref[:]
 
     a = dx * dx + dy * dy + dz * dz
-    inv_a = 1.0 / a
+    neg_inv_a = -1.0 / a
+    ta2 = -t_min * a  # t1 > t_min  <=>  (b + sq) < ta2  (a > 0)
 
     zeros = jnp.zeros(ox.shape, jnp.float32)
     init = (
@@ -76,9 +77,10 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
         disc = b * b - a * c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = (-b - sq) * inv_a
-        t2 = (-b + sq) * inv_a
-        cand = jnp.where(t1 > t_min, t1, t2)
+        # fused t1/t2 fallback: t = (-b - sign*sq)/a with the near root
+        # taken when t1 > t_min, i.e. (b + sq) < -t_min*a
+        s2 = jnp.where(b + sq < ta2, sq, -sq)
+        cand = (b + s2) * neg_inv_a
         ok = (disc > 0.0) & (cand > t_min)
         return cand, cx, cy, cz, r, m, ok
 
@@ -207,7 +209,8 @@ def _sphere_cluster_kernel(sph_ref, cl_ref, ox_ref, oy_ref, oz_ref,
     tm = tm_ref[:]
 
     a = dx * dx + dy * dy + dz * dz
-    inv_a = 1.0 / a
+    neg_inv_a = -1.0 / a
+    ta2 = -t_min * a
     ix = 1.0 / _safe_div_dir(dx)
     iy = 1.0 / _safe_div_dir(dy)
     iz = 1.0 / _safe_div_dir(dz)
@@ -236,9 +239,8 @@ def _sphere_cluster_kernel(sph_ref, cl_ref, ox_ref, oy_ref, oz_ref,
         c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
         disc = b * b - a * c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = (-b - sq) * inv_a
-        t2 = (-b + sq) * inv_a
-        cand = jnp.where(t1 > t_min, t1, t2)
+        s2 = jnp.where(b + sq < ta2, sq, -sq)
+        cand = (b + s2) * neg_inv_a
         ok = (disc > 0.0) & (cand > t_min)
         return cand, cx, cy, cz, r, m, ok
 

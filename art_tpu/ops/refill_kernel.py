@@ -1,0 +1,233 @@
+"""Fused wavefront-refill Pallas kernel.
+
+The refill stage of the persistent ray pool (render/integrator.py) is pure
+elementwise work plus one global prefix sum, but as XLA ops inside the
+while-loop body it fragments into dozens of small fusions whose dispatch
+overheads dominate (~0.5-1.0 ms/iter measured, vs ~0.1 ms of actual math —
+docs/PERF_NOTES.md round 2).  This kernel performs the whole stage in one
+launch:
+
+* global work-stealing rank: block-local exclusive cumsum of the dead mask
+  + a running scalar carry in SMEM across the (sequential) TPU grid;
+* queue element -> (sample, pixel) decomposition and sub-pixel jitter
+  (reference src/main.cu:119-125);
+* thin-lens + shutter camera ray generation (src/camera.cuh:35-47);
+* masked merge of the fresh rays into the pool state planes.
+
+The queue id is tracked as a (sample_base, pixel_base) pair so all integer
+arithmetic stays below 2^18 and is exact in f32 (n_q itself can exceed the
+f32-exact integer range).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_SUBLANES = 64
+RAY_BLOCK = _SUBLANES * _LANES
+
+
+def _refill_kernel(scal_ref, cam_ref,
+                   uj0_ref, uj1_ref, ul0_ref, ul1_ref, ut_ref,
+                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+                   t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
+                   bounce_ref, pix_ref, act_ref,
+                   oxo, oyo, ozo, dxo, dyo, dzo, tmo,
+                   t0o, t1o, t2o, r0o, r1o, r2o,
+                   bounceo, pixo, acto, tko,
+                   carry_smem):
+    """One grid step = one (SUBLANES, LANES) slot block.
+
+    scal_ref (SMEM i32): [s_base, p_base, spp, P, pix_offset, total_pixels,
+                          nx, ny]
+    cam_ref  (SMEM f32): [origin(3), llc(3), horizontal(3), vertical(3),
+                          u(3), v(3), lens_radius, time0, time1]
+    carry_smem (SMEM i32 scratch): running dead count across blocks.
+    tko: (1, 1) i32 output — total taken count (written at the last block).
+    """
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        carry_smem[0] = 0
+        carry_smem[1] = 0
+
+    act = act_ref[:]
+    dead = act == 0
+    dead_i = dead.astype(jnp.int32)
+
+    # ---- global exclusive rank of each dead slot ----
+    # Mosaic has no cumsum lowering; prefix sums run on the MXU as
+    # triangular matmuls (exact in f32: counts <= 8192 << 2^24).
+    dead_f = dead_i.astype(jnp.float32)
+    li = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+    lower_lanes = (li <= lj).astype(jnp.float32)  # (LANES, LANES)
+    lane_inc = jnp.dot(
+        dead_f, lower_lanes, preferred_element_type=jnp.float32
+    )  # inclusive prefix along lanes
+    row_tot = lane_inc[:, _LANES - 1:_LANES]  # (SUB, 1)
+    si = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _SUBLANES), 0)
+    sj = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _SUBLANES), 1)
+    strict_lower = (sj < si).astype(jnp.float32)  # (SUB, SUB)
+    row_off = jnp.dot(
+        strict_lower, row_tot, preferred_element_type=jnp.float32
+    )  # exclusive prefix of row totals
+    rank = (
+        carry_smem[0]
+        + (row_off + (lane_inc - dead_f)).astype(jnp.int32)
+    )
+
+    s_base = scal_ref[0]
+    p_base = scal_ref[1]
+    spp = scal_ref[2]
+    P = scal_ref[3]
+    pix_offset = scal_ref[4]
+    total_pixels = scal_ref[5]
+    nx = scal_ref[6]
+    ny = scal_ref[7]
+
+    # queue id = (s_base, p_base) + rank with rank < R + P < 2^18:
+    # pr = p_base + rank; sample = s_base + pr // P; pixel row = pr % P.
+    pr = p_base + rank
+    prf = pr.astype(jnp.float32)
+    Pf = P.astype(jnp.float32)
+    j = jnp.floor(prf * (1.0 / Pf)).astype(jnp.int32)
+    rem = pr - j * P
+    # one-step correction for the reciprocal rounding
+    over = rem >= P
+    under = rem < 0
+    j = jnp.where(over, j + 1, jnp.where(under, j - 1, j))
+    rem = jnp.where(over, rem - P, jnp.where(under, rem + P, rem))
+    sample = s_base + j
+    take = dead & (sample < spp)
+
+    p_row = rem
+    pixel = jnp.minimum(pix_offset + p_row, total_pixels - 1)
+    # pixel < total_pixels <= 2^24: i/j decomposition exact in f32
+    pixf = pixel.astype(jnp.float32)
+    nxf = nx.astype(jnp.float32)
+    pj = jnp.floor(pixf * (1.0 / nxf)).astype(jnp.int32)
+    pi = pixel - pj * nx
+    over = pi >= nx
+    under = pi < 0
+    pj = jnp.where(over, pj + 1, jnp.where(under, pj - 1, pj))
+    pi = jnp.where(over, pi - nx, jnp.where(under, pi + nx, pi))
+
+    s = (pi.astype(jnp.float32) + uj0_ref[:]) / nxf
+    t = (pj.astype(jnp.float32) + uj1_ref[:]) / ny.astype(jnp.float32)
+
+    # ---- thin-lens + shutter camera (src/camera.cuh:35-47) ----
+    lens_radius = cam_ref[18]
+    time0 = cam_ref[19]
+    time1 = cam_ref[20]
+    r = lens_radius * jnp.sqrt(ul0_ref[:])
+    phi = (2.0 * jnp.pi) * ul1_ref[:]
+    rdx = r * jnp.cos(phi)
+    rdy = r * jnp.sin(phi)
+    tm_new = time0 + ut_ref[:] * (time1 - time0)
+
+    o_new = []
+    d_new = []
+    for c in range(3):
+        oc = cam_ref[0 + c] + rdx * cam_ref[12 + c] + rdy * cam_ref[15 + c]
+        dc = (cam_ref[3 + c] + s * cam_ref[6 + c] + t * cam_ref[9 + c]) - oc
+        o_new.append(oc)
+        d_new.append(dc)
+
+    # ---- masked merge into the pool ----
+    ones = jnp.ones(act.shape, jnp.float32)
+    zeros = jnp.zeros(act.shape, jnp.float32)
+    oxo[:] = jnp.where(take, o_new[0], ox_ref[:])
+    oyo[:] = jnp.where(take, o_new[1], oy_ref[:])
+    ozo[:] = jnp.where(take, o_new[2], oz_ref[:])
+    dxo[:] = jnp.where(take, d_new[0], dx_ref[:])
+    dyo[:] = jnp.where(take, d_new[1], dy_ref[:])
+    dzo[:] = jnp.where(take, d_new[2], dz_ref[:])
+    tmo[:] = jnp.where(take, tm_new, tm_ref[:])
+    t0o[:] = jnp.where(take, ones, t0_ref[:])
+    t1o[:] = jnp.where(take, ones, t1_ref[:])
+    t2o[:] = jnp.where(take, ones, t2_ref[:])
+    r0o[:] = jnp.where(take, zeros, r0_ref[:])
+    r1o[:] = jnp.where(take, zeros, r1_ref[:])
+    r2o[:] = jnp.where(take, zeros, r2_ref[:])
+    bounceo[:] = jnp.where(take, 0, bounce_ref[:])
+    pixo[:] = jnp.where(take, p_row, pix_ref[:])
+    acto[:] = ((act != 0) | take).astype(jnp.int32)
+
+    # ---- carries ----
+    carry_smem[0] = carry_smem[0] + jnp.sum(dead_i)
+    carry_smem[1] = carry_smem[1] + jnp.sum(take.astype(jnp.int32))
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        tko[0, 0] = carry_smem[1]
+
+
+def fused_refill(
+    state_planes,  # dict of pool planes, see below
+    uniforms,  # (uj0, uj1, ul0, ul1, ut) each (R,)
+    cam_vec: jnp.ndarray,  # (21,) f32 packed camera
+    scal: jnp.ndarray,  # (8,) i32 [s_base, p_base, spp, P, pix_offset, total, nx, ny]
+    *,
+    interpret: bool = False,
+):
+    """Returns (new_planes dict, take_count ())."""
+    R = state_planes["ox"].shape[0]
+    rows = R // _LANES
+    grid = rows // _SUBLANES
+    spec = pl.BlockSpec((_SUBLANES, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    f32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+
+    names_f = ["ox", "oy", "oz", "dx", "dy", "dz", "tm",
+               "t0", "t1", "t2", "r0", "r1", "r2"]
+    names_i = ["bounce", "pix", "act"]
+
+    ins = (
+        [scal, cam_vec]
+        + [plane(u) for u in uniforms]
+        + [plane(state_planes[n]) for n in names_f]
+        + [plane(state_planes[n]) for n in names_i]
+    )
+    outs = pl.pallas_call(
+        _refill_kernel,
+        grid=(grid,),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+            + [spec] * (5 + 16)
+        ),
+        out_specs=(spec,) * 16 + (
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=tuple([f32] * 13 + [i32] * 3
+                        + [jax.ShapeDtypeStruct((1, 1), jnp.int32)]),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        interpret=interpret,
+    )(*ins)
+
+    new = {}
+    for k, name in enumerate(names_f + names_i):
+        new[name] = outs[k].reshape(R)
+    take_count = outs[16][0, 0]
+    return new, take_count
+
+
+def pack_camera(cam) -> jnp.ndarray:
+    """(21,) f32: origin, llc, horizontal, vertical, u, v, lens_r, t0, t1."""
+    return jnp.concatenate([
+        cam.origin, cam.lower_left_corner, cam.horizontal, cam.vertical,
+        cam.u, cam.v,
+        jnp.stack([cam.lens_radius, cam.time0, cam.time1]),
+    ]).astype(jnp.float32)

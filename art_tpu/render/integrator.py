@@ -69,11 +69,25 @@ def background_color(d: jnp.ndarray, bg: jnp.ndarray, gradient: bool) -> jnp.nda
     return jnp.stack(background_color_p(p_unstack(d), bg, gradient), axis=-1)
 
 
+def _fused_refill_ok(R: int) -> bool:
+    """Use the fused Pallas refill kernel on TPU backends."""
+    import os
+
+    if os.environ.get("ART_TPU_NO_FUSED_REFILL"):
+        return False
+    from art_tpu.ops.refill_kernel import RAY_BLOCK
+
+    return jax.default_backend() == "tpu" and R % RAY_BLOCK == 0
+
+
 # Debug ablation flags, read once at import (never inside traced bodies).
 _DBG = __import__("os").environ.get("ART_TPU_DBG", "")
 _NO_FLUSH = bool(__import__("os").environ.get("ART_TPU_NO_FLUSH"))
-# Framebuffer flush strategy (perf experiment): aos | planar | drop | planar_drop
+# Framebuffer flush strategy (perf experiment):
+# aos | aos4 | planar | drop | planar_drop | subslot
 _FLUSH = __import__("os").environ.get("ART_TPU_FLUSH", "aos")
+_SUBSLOTS = 8
+_SLOT_IOTA = jnp.arange(1 << 20, dtype=jnp.int32)
 
 
 def _bounce_step(tables, o, d, tm, throughput, radiance, active, U, background, gradient_bg):
@@ -265,7 +279,11 @@ def render_wavefront(
         fb=(
             tuple(jnp.zeros((P,), jnp.float32) for _ in range(3))
             if _FLUSH.startswith("planar")
-            else jnp.zeros((P, 3), jnp.float32)
+            else jnp.zeros(
+                (P * _SUBSLOTS, 3) if _FLUSH == "subslot"
+                else (P, 4 if _FLUSH == "aos4" else 3),
+                jnp.float32,
+            )
         ),
         rays=jnp.float32(0.0),
     )
@@ -273,34 +291,72 @@ def render_wavefront(
     def cond(st: _PoolState):
         return ((st.next_q < n_q) | jnp.any(st.active)) & (st.it < max_iters)
 
+    use_fused_refill = _fused_refill_ok(R)
+    if use_fused_refill:
+        from art_tpu.ops.refill_kernel import fused_refill, pack_camera
+
+        cam_vec = pack_camera(cam)
+
     def body(st: _PoolState) -> _PoolState:
         U = artrng.uniform(artrng.fold(key, st.it), (ncols, R))
 
-        # ---- refill dead slots from the global queue ----
-        dead = ~st.active
-        dead_i = dead.astype(jnp.int32)
-        rank = jnp.cumsum(dead_i) - dead_i  # exclusive prefix among dead
-        q = st.next_q + rank
-        take = dead & (q < n_q)
-        p_row = q % P
-        pixel = jnp.minimum(pix_offset + p_row, total_pixels - 1)
-        i = (pixel % nx).astype(jnp.float32)
-        j = (pixel // nx).astype(jnp.float32)
-        s = (i + U[_U_JITTER0]) / nx
-        t = (j + U[_U_JITTER1]) / ny
-        o_new, d_new, tm_new = rays_from_uniforms_p(
-            cam, s, t, U[_U_LENS0], U[_U_LENS1], U[_U_TIME]
-        )
+        if use_fused_refill:
+            # ---- whole refill stage in one Pallas launch ----
+            planes = dict(
+                ox=st.o[0], oy=st.o[1], oz=st.o[2],
+                dx=st.d[0], dy=st.d[1], dz=st.d[2], tm=st.tm,
+                t0=st.throughput[0], t1=st.throughput[1], t2=st.throughput[2],
+                r0=st.radiance[0], r1=st.radiance[1], r2=st.radiance[2],
+                bounce=st.bounce, pix=st.pix,
+                act=st.active.astype(jnp.int32),
+            )
+            scal = jnp.stack([
+                st.next_q // P, st.next_q % P,
+                jnp.int32(spp), jnp.int32(P),
+                jnp.asarray(pix_offset, jnp.int32), jnp.int32(total_pixels),
+                jnp.int32(nx), jnp.int32(ny),
+            ])
+            new, take_count = fused_refill(
+                planes,
+                (U[_U_JITTER0], U[_U_JITTER1], U[_U_LENS0], U[_U_LENS1],
+                 U[_U_TIME]),
+                cam_vec, scal,
+            )
+            o = (new["ox"], new["oy"], new["oz"])
+            d = (new["dx"], new["dy"], new["dz"])
+            tm = new["tm"]
+            throughput = (new["t0"], new["t1"], new["t2"])
+            radiance = (new["r0"], new["r1"], new["r2"])
+            bounce = new["bounce"]
+            pix = new["pix"]
+            active = new["act"] != 0
+            next_q = st.next_q + take_count
+        else:
+            # ---- refill dead slots from the global queue (jnp path) ----
+            dead = ~st.active
+            dead_i = dead.astype(jnp.int32)
+            rank = jnp.cumsum(dead_i) - dead_i  # exclusive prefix among dead
+            q = st.next_q + rank
+            take = dead & (q < n_q)
+            p_row = q % P
+            pixel = jnp.minimum(pix_offset + p_row, total_pixels - 1)
+            i = (pixel % nx).astype(jnp.float32)
+            j = (pixel // nx).astype(jnp.float32)
+            s = (i + U[_U_JITTER0]) / nx
+            t = (j + U[_U_JITTER1]) / ny
+            o_new, d_new, tm_new = rays_from_uniforms_p(
+                cam, s, t, U[_U_LENS0], U[_U_LENS1], U[_U_TIME]
+            )
 
-        o = p_where(take, o_new, st.o)
-        d = p_where(take, d_new, st.d)
-        tm = jnp.where(take, tm_new, st.tm)
-        throughput = p_where(take, (ones, ones, ones), st.throughput)
-        radiance = p_where(take, (zeros, zeros, zeros), st.radiance)
-        bounce = jnp.where(take, 0, st.bounce)
-        pix = jnp.where(take, p_row, st.pix)
-        active = st.active | take
-        next_q = st.next_q + jnp.sum(take.astype(jnp.int32))
+            o = p_where(take, o_new, st.o)
+            d = p_where(take, d_new, st.d)
+            tm = jnp.where(take, tm_new, st.tm)
+            throughput = p_where(take, (ones, ones, ones), st.throughput)
+            radiance = p_where(take, (zeros, zeros, zeros), st.radiance)
+            bounce = jnp.where(take, 0, st.bounce)
+            pix = jnp.where(take, p_row, st.pix)
+            active = st.active | take
+            next_q = st.next_q + jnp.sum(take.astype(jnp.int32))
 
         # ---- one bounce for the whole pool ----
         o2, d2, throughput, radiance, survived = _bounce_step(
@@ -331,6 +387,24 @@ def render_wavefront(
                 st.fb[c].at[pix_w].add(radiance[c], mode="drop")
                 for c in range(3)
             )
+        elif _FLUSH == "subslot":
+            # collision-light: K sub-accumulators per pixel keyed by
+            # slot % K — two in-flight samples of one pixel collide only
+            # when their slots are congruent mod K
+            flush = jnp.stack(
+                [jnp.where(died, radiance[c], 0.0) for c in range(3)],
+                axis=-1,
+            )
+            idx = pix * _SUBSLOTS + (_SLOT_IOTA[: pix.shape[0]] & (_SUBSLOTS - 1))
+            fb = st.fb.at[idx].add(flush)
+        elif _FLUSH == "aos4":
+            # 16-byte-aligned rows: pad the payload to 4 lanes
+            flush = jnp.stack(
+                [jnp.where(died, radiance[c], 0.0) for c in range(3)]
+                + [jnp.zeros_like(radiance[0])],
+                axis=-1,
+            )
+            fb = st.fb.at[pix].add(flush)
         elif _FLUSH == "drop":
             # non-died lanes write out of range and are dropped: fewer
             # effective writes and no where-masking of the payload
@@ -359,9 +433,10 @@ def render_wavefront(
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    fb = (
-        jnp.stack(final.fb, axis=-1)
-        if isinstance(final.fb, tuple)
-        else final.fb
-    )
+    if isinstance(final.fb, tuple):
+        fb = jnp.stack(final.fb, axis=-1)
+    elif _FLUSH == "subslot":
+        fb = final.fb.reshape(P, _SUBSLOTS, 3).sum(axis=1)
+    else:
+        fb = final.fb[:, :3]
     return fb, final.rays, final.it
