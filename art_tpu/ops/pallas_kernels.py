@@ -183,7 +183,7 @@ def sphere_hit_attrs_planar(
 # Block-synchronous cluster culling (2-level BVH, TPU-native)
 # ---------------------------------------------------------------------------
 
-SPHERE_CLUSTER = 8  # spheres per cluster (BVH-leaf-order groups)
+SPHERE_CLUSTER = 64  # spheres per cluster (BVH-leaf-order groups; coarse so the per-cluster block check costs ~1%)
 
 
 def _sphere_cluster_kernel(sph_ref, cl_ref, ox_ref, oy_ref, oz_ref,
@@ -725,7 +725,7 @@ def box_hit_attrs_planar(
     )
 
 
-BOX_CLUSTER = 4  # boxes per cluster (BVH-leaf-order groups)
+BOX_CLUSTER = 64  # boxes per cluster (BVH-leaf-order groups)
 
 
 def _box_cluster_kernel(bx_ref, cl_ref, ox_ref, oy_ref, oz_ref,

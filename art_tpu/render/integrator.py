@@ -83,11 +83,26 @@ def _fused_refill_ok(R: int) -> bool:
 # Debug ablation flags, read once at import (never inside traced bodies).
 _DBG = __import__("os").environ.get("ART_TPU_DBG", "")
 _NO_FLUSH = bool(__import__("os").environ.get("ART_TPU_NO_FLUSH"))
-# Framebuffer flush strategy (perf experiment):
-# aos | aos4 | planar | drop | planar_drop | subslot
-_FLUSH = __import__("os").environ.get("ART_TPU_FLUSH", "aos")
+# Framebuffer flush strategy:
+# auto (matmul on TPU, aos elsewhere) | aos | aos4 | planar | planar_drop |
+# drop | subslot | matmul.  Measured on v5e (docs/PERF_NOTES.md r2): the
+# MXU one-hot matmul accumulate beats the colliding scatter-add by ~0.5
+# ms/iter (+28% throughput); every other variant loses.
+_FLUSH_ENV = __import__("os").environ.get("ART_TPU_FLUSH", "auto")
+
+
+def _flush_mode() -> str:
+    """Resolved at trace time so importing this module never initializes
+    the JAX backend (dryrun_multichip overrides the platform after import)."""
+    if _FLUSH_ENV == "auto":
+        return "matmul" if jax.default_backend() == "tpu" else "aos"
+    return _FLUSH_ENV
+
+
 _SUBSLOTS = 8
-_SLOT_IOTA = jnp.arange(1 << 20, dtype=jnp.int32)
+# numpy, not jnp: a module-level device array would initialize the backend
+# at import time
+_SLOT_IOTA = __import__("numpy").arange(1 << 20, dtype=__import__("numpy").int32)
 
 
 def _bounce_step(tables, o, d, tm, throughput, radiance, active, U, background, gradient_bg):
@@ -262,6 +277,7 @@ def render_wavefront(
     ncols = _n_uniform_cols(tables)
     # Safety bound: every queue element costs <= max_depth iterations.
     max_iters = (n_q * max_depth) // R + max_depth + 2
+    _FLUSH = _flush_mode()
 
     ones = jnp.ones((R,), jnp.float32)
     zeros = jnp.zeros((R,), jnp.float32)
@@ -279,6 +295,8 @@ def render_wavefront(
         fb=(
             tuple(jnp.zeros((P,), jnp.float32) for _ in range(3))
             if _FLUSH.startswith("planar")
+            else jnp.zeros((-(-P // 128), 384), jnp.float32)
+            if _FLUSH == "matmul"
             else jnp.zeros(
                 (P * _SUBSLOTS, 3) if _FLUSH == "subslot"
                 else (P, 4 if _FLUSH == "aos4" else 3),
@@ -387,6 +405,34 @@ def render_wavefront(
                 st.fb[c].at[pix_w].add(radiance[c], mode="drop")
                 for c in range(3)
             )
+        elif _FLUSH == "matmul":
+            # MXU flush: fb[hi, c*128+lo] += sum_r onehot_hi[r] * W[r]
+            # with W = onehot_lo * radiance — replaces the colliding
+            # scatter-add (cost ~ target size) with one bf16 matmul whose
+            # f32 accumulation is exact; the bf16 rounding of each died
+            # sample (~0.4% relative) is far below Monte-Carlo noise.
+            n_hi = st.fb.shape[0]
+            hi = pix // 128
+            lo = pix % 128
+            lanes = _SLOT_IOTA[:128]
+            lo_oh = lo[:, None] == lanes[None, :]
+            W = jnp.concatenate(
+                [
+                    jnp.where(
+                        lo_oh & died[:, None], radiance[c][:, None], 0.0
+                    )
+                    for c in range(3)
+                ],
+                axis=1,
+            ).astype(jnp.bfloat16)  # (R, 384)
+            oh_hi = (
+                hi[:, None] == _SLOT_IOTA[:n_hi][None, :]
+            ).astype(jnp.bfloat16)  # (R, n_hi)
+            fb = st.fb + jax.lax.dot_general(
+                oh_hi, W,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         elif _FLUSH == "subslot":
             # collision-light: K sub-accumulators per pixel keyed by
             # slot % K — two in-flight samples of one pixel collide only
@@ -435,6 +481,13 @@ def render_wavefront(
     final = jax.lax.while_loop(cond, body, state)
     if isinstance(final.fb, tuple):
         fb = jnp.stack(final.fb, axis=-1)
+    elif _FLUSH == "matmul":
+        n_hi = final.fb.shape[0]
+        fb = (
+            final.fb.reshape(n_hi, 3, 128)
+            .transpose(0, 2, 1)
+            .reshape(n_hi * 128, 3)[:P]
+        )
     elif _FLUSH == "subslot":
         fb = final.fb.reshape(P, _SUBSLOTS, 3).sum(axis=1)
     else:

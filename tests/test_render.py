@@ -120,3 +120,24 @@ def test_trace_direct_call():
     )
     assert rad.shape == (n, 3)
     assert float(rays) >= n  # at least one bounce each
+
+
+def test_matmul_flush_matches_scatter_flush(monkeypatch):
+    """The MXU one-hot flush (TPU default) must reproduce the scatter-add
+    flush image to bf16-rounding tolerance."""
+    import numpy as np
+
+    from art_tpu.models import build_scene
+    from art_tpu.render import integrator
+    from art_tpu.render.renderer import RenderConfig, render_scene
+
+    scene = build_scene("three_spheres", 48, 27)
+    cfg = RenderConfig(nx=48, ny=27, spp=8, max_depth=8)
+
+    monkeypatch.setattr(integrator, "_FLUSH_ENV", "aos")
+    ref, _ = render_scene(scene, cfg)
+    monkeypatch.setattr(integrator, "_FLUSH_ENV", "matmul")
+    got, _ = render_scene(scene, cfg)
+    # identical sampling; only the flush arithmetic differs (one bf16
+    # rounding per died sample before an exact f32 accumulation)
+    np.testing.assert_allclose(got, ref, rtol=6e-3, atol=2e-3)
