@@ -97,9 +97,10 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             jnp.where(better, m, bm),
         )
 
-    # unrolled to overlap scalar loads with vector math (table padded to a
-    # multiple of UNROLL by pack_spheres)
-    UNROLL = 8
+    # unrolled to amortize the fori_loop backedge overhead (~1.2 us per
+    # iteration measured on v5e — scripts/exp_unroll.py); table padded to a
+    # multiple of UNROLL by pack_spheres
+    UNROLL = 16
     def body(i, carry):
         s = i * UNROLL
         for k in range(UNROLL):
@@ -397,10 +398,10 @@ def sphere_closest_hit_pallas(
 def pack_spheres(tables) -> jnp.ndarray:
     """(S_pad, 8) packed sphere table: [cx cy cz vx vy vz radius mat].
 
-    Padded to a multiple of 8 for the unrolled kernel loop; pad rows have
+    Padded to a multiple of 16 for the unrolled kernel loop; pad rows have
     radius 0, which can never hit (disc = (oc.d)^2 - |d|^2|oc|^2 <= 0)."""
     S = tables.sph_center.shape[0]
-    S_pad = -(-S // 8) * 8
+    S_pad = -(-S // 16) * 16
     out = jnp.zeros((S_pad, 8), jnp.float32)
     out = out.at[:S, 0:3].set(tables.sph_center)
     out = out.at[:S, 3:6].set(tables.sph_vel)
@@ -446,7 +447,18 @@ def _quad_kernel(qd_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         best_i = jnp.where(better, q, best_i)
         return best_t, best_i
 
-    best_t, best_i = jax.lax.fori_loop(0, n_quads, body, (init_t, init_i))
+    # unrolled to amortize fori backedge overhead; pad rows have a zero
+    # normal (nd == 0 -> parallel-miss reject)
+    UNROLL = 8
+    nu = (n_quads + UNROLL - 1) // UNROLL
+
+    def ubody(i, carry):
+        q = i * UNROLL
+        for k in range(UNROLL):
+            carry = body(q + k, carry)
+        return carry
+
+    best_t, best_i = jax.lax.fori_loop(0, nu, ubody, (init_t, init_i))
     t_ref[:] = best_t
     idx_ref[:] = best_i
 
@@ -482,13 +494,14 @@ def quad_closest_hit_planar(
 
 def pack_quads(tables) -> jnp.ndarray:
     Q = tables.quad_n.shape[0]
-    out = jnp.zeros((Q, 12), jnp.float32)
-    out = out.at[:, 0:3].set(tables.quad_n)
-    out = out.at[:, 3].set(tables.quad_d)
-    out = out.at[:, 4:7].set(tables.quad_avec)
-    out = out.at[:, 7].set(tables.quad_ca)
-    out = out.at[:, 8:11].set(tables.quad_bvec)
-    out = out.at[:, 11].set(tables.quad_cb)
+    Q_pad = -(-Q // 8) * 8
+    out = jnp.zeros((Q_pad, 12), jnp.float32)
+    out = out.at[:Q, 0:3].set(tables.quad_n)
+    out = out.at[:Q, 3].set(tables.quad_d)
+    out = out.at[:Q, 4:7].set(tables.quad_avec)
+    out = out.at[:Q, 7].set(tables.quad_ca)
+    out = out.at[:Q, 8:11].set(tables.quad_bvec)
+    out = out.at[:Q, 11].set(tables.quad_cb)
     return out
 
 
@@ -581,7 +594,7 @@ def _box_kernel(bx_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             sel(p, c) for p, c in zip(params, carry[1:])
         )
 
-    UNROLL = 4
+    UNROLL = 16
     def body(i, carry):
         b = i * UNROLL
         for k in range(UNROLL):
@@ -914,10 +927,10 @@ def cluster_boxes(tables):
 def pack_boxes(tables) -> jnp.ndarray:
     """(B_pad, 12) packed box table: [min(3) max(3) cos sin off(3) mat].
 
-    Padded to a multiple of 4 for the unrolled kernel loop; pad rows are
+    Padded to a multiple of 16 for the unrolled kernel loop; pad rows are
     zero-size boxes (t_entry == t_exit, never `through`)."""
     B = tables.box_min.shape[0]
-    B_pad = -(-B // 4) * 4
+    B_pad = -(-B // 16) * 16
     out = jnp.zeros((B_pad, 12), jnp.float32)
     out = out.at[:B, 0:3].set(tables.box_min)
     out = out.at[:B, 3:6].set(tables.box_max)

@@ -42,6 +42,28 @@ def _refill_kernel(scal_ref, cam_ref,
                    t0o, t1o, t2o, r0o, r1o, r2o,
                    bounceo, pixo, acto, tko,
                    carry_smem):
+    """Thin wrapper: uniforms arrive as input refs (XLA threefry path)."""
+    _refill_body(
+        scal_ref, cam_ref,
+        uj0_ref[:], uj1_ref[:], ul0_ref[:], ul1_ref[:], ut_ref[:],
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+        t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
+        bounce_ref, pix_ref, act_ref,
+        oxo, oyo, ozo, dxo, dyo, dzo, tmo,
+        t0o, t1o, t2o, r0o, r1o, r2o,
+        bounceo, pixo, acto, tko, carry_smem,
+    )
+
+
+def _refill_body(scal_ref, cam_ref,
+                 uj0, uj1, ul0, ul1, ut,
+                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+                 t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
+                 bounce_ref, pix_ref, act_ref,
+                 oxo, oyo, ozo, dxo, dyo, dzo, tmo,
+                 t0o, t1o, t2o, r0o, r1o, r2o,
+                 bounceo, pixo, acto, tko,
+                 carry_smem):
     """One grid step = one (SUBLANES, LANES) slot block.
 
     scal_ref (SMEM i32): [s_base, p_base, spp, P, pix_offset, total_pixels,
@@ -120,18 +142,18 @@ def _refill_kernel(scal_ref, cam_ref,
     pj = jnp.where(over, pj + 1, jnp.where(under, pj - 1, pj))
     pi = jnp.where(over, pi - nx, jnp.where(under, pi + nx, pi))
 
-    s = (pi.astype(jnp.float32) + uj0_ref[:]) / nxf
-    t = (pj.astype(jnp.float32) + uj1_ref[:]) / ny.astype(jnp.float32)
+    s = (pi.astype(jnp.float32) + uj0) / nxf
+    t = (pj.astype(jnp.float32) + uj1) / ny.astype(jnp.float32)
 
     # ---- thin-lens + shutter camera (src/camera.cuh:35-47) ----
     lens_radius = cam_ref[18]
     time0 = cam_ref[19]
     time1 = cam_ref[20]
-    r = lens_radius * jnp.sqrt(ul0_ref[:])
-    phi = (2.0 * jnp.pi) * ul1_ref[:]
+    r = lens_radius * jnp.sqrt(ul0)
+    phi = (2.0 * jnp.pi) * ul1
     rdx = r * jnp.cos(phi)
     rdy = r * jnp.sin(phi)
-    tm_new = time0 + ut_ref[:] * (time1 - time0)
+    tm_new = time0 + ut * (time1 - time0)
 
     o_new = []
     d_new = []
@@ -168,6 +190,110 @@ def _refill_kernel(scal_ref, cam_ref,
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
         tko[0, 0] = carry_smem[1]
+
+
+def _make_rng_kernel(n_media: int):
+    """Refill kernel variant that also GENERATES every uniform the bounce
+    needs via the TPU hardware PRNG (pltpu.prng_random_bits), seeded per
+    (iteration, grid block): kills the per-iteration XLA threefry block.
+
+    Extra outputs (after the 16 state planes + take count): ball(3),
+    choice(1), media(n_media) uniform planes for the downstream shade/media
+    stages; the jitter/lens/time draws are consumed in-kernel.
+    """
+
+    def kernel(*refs):
+        (scal_ref, cam_ref, seed_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+         t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
+         bounce_ref, pix_ref, act_ref) = refs[:19]
+        outs = refs[19:19 + 16]
+        tko = refs[19 + 16]
+        u_outs = refs[19 + 17:19 + 17 + 4 + n_media]
+        carry_smem = refs[-1]
+
+        b = pl.program_id(0)
+        # max 2 seed values: mix the grid block id into the first
+        pltpu.prng_seed(seed_ref[0] ^ (b * jnp.int32(-1640531527)), seed_ref[1])
+
+        shape = ox_ref.shape
+
+        def u01():
+            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            # Mosaic has no uint32->f32 cast; after >>8 the sign bit is
+            # clear, so the int32 bitcast has the same value
+            top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+            return top24.astype(jnp.float32) * (1.0 / 16777216.0)
+
+        uj0, uj1, ul0, ul1, ut = u01(), u01(), u01(), u01(), u01()
+        for uo in u_outs:
+            uo[:] = u01()
+
+        _refill_body(
+            scal_ref, cam_ref, uj0, uj1, ul0, ul1, ut,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+            t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
+            bounce_ref, pix_ref, act_ref,
+            *outs, tko, carry_smem,
+        )
+
+    return kernel
+
+
+def fused_refill_rng(
+    state_planes,
+    key2: jnp.ndarray,  # (2,) int32 per-iteration seed material
+    cam_vec: jnp.ndarray,  # (21,) f32 packed camera
+    scal: jnp.ndarray,  # (8,) i32 [s_base, p_base, spp, P, pix_offset, total, nx, ny]
+    n_media: int,
+):
+    """fused_refill + hardware-PRNG uniforms.
+
+    Returns (new_planes dict, take_count (), u_ball 3-tuple, u_choice,
+    u_media tuple of n_media planes)."""
+    R = state_planes["ox"].shape[0]
+    rows = R // _LANES
+    grid = rows // _SUBLANES
+    spec = pl.BlockSpec((_SUBLANES, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    f32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+
+    names_f = ["ox", "oy", "oz", "dx", "dy", "dz", "tm",
+               "t0", "t1", "t2", "r0", "r1", "r2"]
+    names_i = ["bounce", "pix", "act"]
+    n_u = 4 + n_media
+
+    ins = (
+        [scal, cam_vec, key2]
+        + [plane(state_planes[n]) for n in names_f]
+        + [plane(state_planes[n]) for n in names_i]
+    )
+    outs = pl.pallas_call(
+        _make_rng_kernel(n_media),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [spec] * 16,
+        out_specs=(spec,) * 16
+        + (pl.BlockSpec(memory_space=pltpu.SMEM),)
+        + (spec,) * n_u,
+        out_shape=tuple(
+            [f32] * 13 + [i32] * 3
+            + [jax.ShapeDtypeStruct((1, 1), jnp.int32)]
+            + [f32] * n_u
+        ),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+    )(*ins)
+
+    new = {}
+    for k, name in enumerate(names_f + names_i):
+        new[name] = outs[k].reshape(R)
+    take_count = outs[16][0, 0]
+    us = [outs[17 + i].reshape(R) for i in range(n_u)]
+    return new, take_count, tuple(us[0:3]), us[3], tuple(us[4:])
 
 
 def fused_refill(

@@ -105,10 +105,13 @@ _SUBSLOTS = 8
 _SLOT_IOTA = __import__("numpy").arange(1 << 20, dtype=__import__("numpy").int32)
 
 
-def _bounce_step(tables, o, d, tm, throughput, radiance, active, U, background, gradient_bg):
+def _bounce_step(tables, o, d, tm, throughput, radiance, active,
+                 u_ball, u_choice, u_media, background, gradient_bg):
     """One shared bounce: intersect -> media -> background/emission -> scatter.
 
-    All vector quantities are 3-tuples of (R,) planes.  Returns
+    All vector quantities are 3-tuples of (R,) planes; ``u_ball`` is a
+    3-tuple of uniform planes, ``u_choice`` one plane, ``u_media`` an
+    indexable block of per-medium planes.  Returns
     (new_o, new_d, new_throughput, new_radiance, survived)."""
     if "fake_intersect" in _DBG:  # perf-debug: dependency-preserving stub
         from art_tpu.ops.intersect import HitRecordP
@@ -126,7 +129,7 @@ def _bounce_step(tables, o, d, tm, throughput, radiance, active, U, background, 
         )
     else:
         surf = closest_surface_p(tables, o, d, tm, T_MIN)
-        rec = apply_media_p(tables, o, d, T_MIN, surf, U[_U_MEDIA:])
+        rec = apply_media_p(tables, o, d, T_MIN, surf, u_media)
 
     bg = background_color_p(d, background, gradient_bg)
     miss = active & ~rec.hit
@@ -145,13 +148,10 @@ def _bounce_step(tables, o, d, tm, throughput, radiance, active, U, background, 
             emitted=(z, z, z),
             attenuation=(z + 0.9, z + 0.9, z + 0.9),
             direction=nd,
-            scattered=rec.hit & (U[_U_CHOICE] < 0.7),
+            scattered=rec.hit & (u_choice < 0.7),
         )
     else:
-        sc = shade_p(
-            tables, d, rec,
-            (U[0], U[1], U[2]), U[_U_CHOICE],
-        )
+        sc = shade_p(tables, d, rec, u_ball, u_choice)
 
     radiance = tuple(
         radiance[c] + jnp.where(live_hit, throughput[c] * sc.emitted[c], 0.0)
@@ -214,7 +214,9 @@ def trace(
         U = artrng.uniform(artrng.fold(key, 1000 + st.bounce), (ncols, R))
         o, d, throughput, radiance, survived = _bounce_step(
             tables, st.origin, st.direction, st.time,
-            st.throughput, st.radiance, st.alive, U, background, gradient_bg,
+            st.throughput, st.radiance, st.alive,
+            (U[0], U[1], U[2]), U[_U_CHOICE], U[_U_MEDIA:],
+            background, gradient_bg,
         )
         return _TraceState(
             bounce=st.bounce + 1,
@@ -310,14 +312,19 @@ def render_wavefront(
         return ((st.next_q < n_q) | jnp.any(st.active)) & (st.it < max_iters)
 
     use_fused_refill = _fused_refill_ok(R)
+    use_kernel_rng = use_fused_refill and not __import__("os").environ.get(
+        "ART_TPU_NO_KERNEL_RNG"
+    )
     if use_fused_refill:
-        from art_tpu.ops.refill_kernel import fused_refill, pack_camera
+        from art_tpu.ops.refill_kernel import (
+            fused_refill,
+            fused_refill_rng,
+            pack_camera,
+        )
 
         cam_vec = pack_camera(cam)
 
     def body(st: _PoolState) -> _PoolState:
-        U = artrng.uniform(artrng.fold(key, st.it), (ncols, R))
-
         if use_fused_refill:
             # ---- whole refill stage in one Pallas launch ----
             planes = dict(
@@ -334,12 +341,27 @@ def render_wavefront(
                 jnp.asarray(pix_offset, jnp.int32), jnp.int32(total_pixels),
                 jnp.int32(nx), jnp.int32(ny),
             ])
-            new, take_count = fused_refill(
-                planes,
-                (U[_U_JITTER0], U[_U_JITTER1], U[_U_LENS0], U[_U_LENS1],
-                 U[_U_TIME]),
-                cam_vec, scal,
-            )
+            if use_kernel_rng:
+                # every uniform this iteration needs comes from the TPU
+                # hardware PRNG inside the refill kernel — no XLA threefry
+                key2 = jax.random.key_data(
+                    artrng.fold(key, st.it)
+                ).astype(jnp.int32)
+                new, take_count, u_ball, u_choice, u_media = fused_refill_rng(
+                    planes, key2, cam_vec, scal,
+                    n_media=max(tables.n_media, 1),
+                )
+            else:
+                U = artrng.uniform(artrng.fold(key, st.it), (ncols, R))
+                u_ball = (U[0], U[1], U[2])
+                u_choice = U[_U_CHOICE]
+                u_media = U[_U_MEDIA:]
+                new, take_count = fused_refill(
+                    planes,
+                    (U[_U_JITTER0], U[_U_JITTER1], U[_U_LENS0], U[_U_LENS1],
+                     U[_U_TIME]),
+                    cam_vec, scal,
+                )
             o = (new["ox"], new["oy"], new["oz"])
             d = (new["dx"], new["dy"], new["dz"])
             tm = new["tm"]
@@ -351,6 +373,10 @@ def render_wavefront(
             next_q = st.next_q + take_count
         else:
             # ---- refill dead slots from the global queue (jnp path) ----
+            U = artrng.uniform(artrng.fold(key, st.it), (ncols, R))
+            u_ball = (U[0], U[1], U[2])
+            u_choice = U[_U_CHOICE]
+            u_media = U[_U_MEDIA:]
             dead = ~st.active
             dead_i = dead.astype(jnp.int32)
             rank = jnp.cumsum(dead_i) - dead_i  # exclusive prefix among dead
@@ -378,8 +404,8 @@ def render_wavefront(
 
         # ---- one bounce for the whole pool ----
         o2, d2, throughput, radiance, survived = _bounce_step(
-            tables, o, d, tm, throughput, radiance, active, U,
-            background, gradient_bg,
+            tables, o, d, tm, throughput, radiance, active,
+            u_ball, u_choice, u_media, background, gradient_bg,
         )
         bounce = bounce + active.astype(jnp.int32)
         depth_ok = bounce < max_depth
