@@ -1,0 +1,134 @@
+"""Pallas framebuffer-flush kernel: in-VMEM one-hot MXU accumulation.
+
+The XLA matmul flush (render/integrator.py, docs/PERF_NOTES.md round 2)
+replaced the colliding scatter-add with ``fb += onehot(hi)^T @ W`` — but XLA
+materializes both one-hot operands in HBM (~230 MB/iteration at R=2^17,
+P=2^16), so the flush pays more for operand bandwidth than for the matmul.
+This kernel builds the one-hots in VMEM and accumulates into a
+VMEM-resident planar framebuffer, leaving only the unavoidable MXU work
+(2*R*3P/128 FLOPs) plus the (R,) input streams.
+
+Layout trick (everything stays in the natural sublane-lane layout — no
+transposes):  for a ray sub-block of GROUP sublane rows starting at s0,
+
+    ohT[h, k*128+l]        = (hi[s0+k, l] == h)          (N_HI, GROUP*128)
+    W [c*128+w, k*128+l]   = (lo[s0+k, l] == w) * radc   (384,  GROUP*128)
+    fb (N_HI, 384)        += dot(ohT, W^T)               contract lanes (NT)
+
+Both operands index rays along *lanes*, so every build is a broadcast
+compare against ``broadcasted_iota`` over sublanes, and the contraction
+runs over the lane axis of both (dot_general ``(((1,), (1,)), ((), ()))``).
+All three channels ride one dot per group (stacked along the N axis).
+
+The framebuffer layout matches the XLA matmul flush: (N_HI, 384) with
+pixel ``p = hi*128 + lo`` channel c at ``[hi, c*128+lo]``.
+
+bf16 note: operands are cast to bf16 exactly like the XLA flush; each died
+sample is rounded once (~0.4% relative, far below Monte-Carlo noise) and
+accumulated in exact f32.  CI gates matmul-vs-scatter image equality.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_SUBLANES = 64  # ray rows per grid block: 8192 rays
+RAY_BLOCK = _SUBLANES * _LANES
+_GROUP = 16  # sublane rows contracted per dot: K = GROUP*128 = 2048
+# (GROUP=32 exceeds the 16 MB scoped-vmem limit: 17.3 MB with the dot's
+# internal transpose copy of the 384-row W operand)
+
+
+def _flush_kernel(pix_ref, died_ref, r0_ref, r1_ref, r2_ref, fb_ref,
+                  out_ref, oh_s, w_s, *, n_hi: int):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[:] = fb_ref[:]
+
+    pix = pix_ref[:]
+    died = died_ref[:] != 0
+    hi = jax.lax.shift_right_logical(pix, 7)
+    lo = jax.lax.bitwise_and(pix, 127)
+    # dead lanes route to one-hot row n_hi (out of range -> all-zero column)
+    hi = jnp.where(died, hi, n_hi)
+
+    rads = (r0_ref[:], r1_ref[:], r2_ref[:])
+    # dim-0 iotas are identical for every lane group: build once
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, _LANES), 0)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+
+    for g in range(_SUBLANES // _GROUP):
+        s0 = g * _GROUP
+        for k in range(_GROUP):
+            sl = slice(k * _LANES, (k + 1) * _LANES)
+            hrow = hi[s0 + k : s0 + k + 1, :]  # (1, LANES)
+            lrow = lo[s0 + k : s0 + k + 1, :]
+            oh_s[:, sl] = (hrow == hi_iota).astype(jnp.bfloat16)
+            lmask = (lrow == lo_iota).astype(jnp.bfloat16)
+            for c in range(3):
+                w_s[c * _LANES : (c + 1) * _LANES, sl] = lmask * rads[c][
+                    s0 + k : s0 + k + 1, :
+                ].astype(jnp.bfloat16)
+        out_ref[:, :] += jax.lax.dot_general(
+            oh_s[:, :], w_s[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def flush_accumulate(
+    pix: jnp.ndarray,  # (R,) int32 framebuffer row of each slot
+    died: jnp.ndarray,  # (R,) bool — flush these slots' radiance
+    radiance,  # 3-tuple of (R,) f32
+    fb: jnp.ndarray,  # (n_hi, 384) f32 accumulator [hi, c*128+lo]
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """fb[p//128, c*128 + p%128] += radiance[c][r] for every died slot r
+    (pixel p = pix[r]); returns the updated (n_hi, 384) accumulator."""
+    R = pix.shape[0]
+    assert R % RAY_BLOCK == 0, R
+    rows = R // _LANES
+    grid = rows // _SUBLANES
+    n_hi = fb.shape[0]
+
+    ray_spec = pl.BlockSpec(
+        (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    fb_spec = pl.BlockSpec(
+        (n_hi, 3 * _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    return pl.pallas_call(
+        functools.partial(_flush_kernel, n_hi=n_hi),
+        grid=(grid,),
+        in_specs=[ray_spec] * 5 + [fb_spec],
+        out_specs=fb_spec,
+        out_shape=jax.ShapeDtypeStruct((n_hi, 3 * _LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_hi, _GROUP * _LANES), jnp.bfloat16),
+            pltpu.VMEM((3 * _LANES, _GROUP * _LANES), jnp.bfloat16),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        plane(pix),
+        plane(died.astype(jnp.int32)),
+        plane(radiance[0]),
+        plane(radiance[1]),
+        plane(radiance[2]),
+        fb,
+    )

@@ -108,6 +108,13 @@ def _use_pallas(R: int) -> bool:
 # kernels stay as validated infrastructure for a coherence-restructured
 # integrator (coherent primary-ray phases), where they win 1.6x+.
 _CLUSTER_ENV = bool(os.environ.get("ART_TPU_CLUSTER"))
+# MXU-formulation sphere kernel (pallas_kernels.sphere_hit_attrs_mxu):
+# opt-in.  Measured end-to-end on v5e it LOSES to the unrolled VPU kernel
+# (bouncing 50.3 vs 64.8 Mrays/s with the pallas flush) — the one-hot
+# winner-gather and f32 feature matmuls cost more than the VPU loop saves
+# at 488 spheres.  Kept as validated infrastructure for much larger sphere
+# counts where O(S) VPU work would dominate.
+_MXU_SPHERES = bool(os.environ.get("ART_TPU_MXU_SPHERES"))
 
 
 def _no_cluster() -> bool:
@@ -382,6 +389,11 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                     tables.sph_cl_packed, tables.sph_cl_box, o, d, time,
                     n_clusters=tables.n_sphere_clusters,
                     moving=tables.has_moving, needs_uv=needs_uv,
+                )
+            elif tables.mxu_sphere_pad and _MXU_SPHERES:
+                t_s, n_s, u_s, v_s, m_s = pk.sphere_hit_attrs_mxu(
+                    tables.sph_mxu_feat, tables.sph_mxu_attr, o, d, time,
+                    s_pad=tables.mxu_sphere_pad, needs_uv=needs_uv,
                 )
             else:
                 t_s, n_s, u_s, v_s, m_s = pk.sphere_hit_attrs_planar(

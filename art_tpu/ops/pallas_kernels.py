@@ -181,6 +181,225 @@ def sphere_hit_attrs_planar(
 
 
 # ---------------------------------------------------------------------------
+# MXU sphere intersection (bilinear-feature matmul formulation)
+# ---------------------------------------------------------------------------
+
+_MXU_NL = 512  # rays per matmul column block
+_MXU_ROWS = 8  # sublane rows per grid step: 8*512 = 4096 rays
+
+
+def sphere_mxu_features(sph_packed, n_spheres: int):
+    """Precompute the bilinear feature factorization of the sphere quadratic.
+
+    For ray (o, d, tm) and sphere (c0, v, r) with c(tm) = c0 + tm*v, the
+    quadratic coefficients b' = oc.d and c' = |oc|^2 - r^2 expand into
+    bilinear forms <ray features, sphere features>:
+
+        B[s, r] = c(tm).d      = <[d, tm*d],                 [c0, v]>
+        C[s, r] = c' - |o|^2   = <[-2o, -2tm*o, 1, tm, tm^2],
+                                  [c0, v, |c0|^2 - r^2, 2 c0.v, |v|^2]>
+
+    so one (2*S_pad, 16) @ (16, NL) MXU matmul per ray block replaces the
+    per-sphere scalar loop's dot products (~2/3 of the brute kernel's VPU
+    work).  Returns (F (2*S_pad, 16) f32, attrT (8, S_pad) f32, S_pad)
+    where attrT is the transposed packed table for the winner-attribute
+    one-hot fetch.
+
+    Precision: each dot product term is f32-rounded, so c' carries an
+    absolute error of ~|c|^2 * 2^-23 (catastrophic cancellation vs the
+    direct |o-c|^2 form).  The winner's t is Newton-refined in-kernel from
+    the cancellation-free direct form; the builder additionally gates this
+    path to scenes whose coordinate scale keeps the *candidate selection*
+    error below t_min (SceneTables.mxu_spheres_ok).
+    """
+    import numpy as np
+
+    p = np.asarray(sph_packed)[:n_spheres]
+    c0 = p[:, 0:3]
+    v = p[:, 3:6]
+    r = p[:, 6]
+    m = p[:, 7]
+    S_pad = -(-n_spheres // 128) * 128
+    F = np.zeros((2 * S_pad, 16), np.float32)
+    F[:n_spheres, 0:3] = c0
+    F[:n_spheres, 3:6] = v
+    F[S_pad : S_pad + n_spheres, 6:9] = -2.0 * c0
+    F[S_pad : S_pad + n_spheres, 9:12] = -2.0 * v
+    F[S_pad : S_pad + n_spheres, 12] = np.sum(c0 * c0, axis=-1) - r * r
+    F[S_pad : S_pad + n_spheres, 13] = 2.0 * np.sum(c0 * v, axis=-1)
+    F[S_pad : S_pad + n_spheres, 14] = np.sum(v * v, axis=-1)
+    # pad spheres: all-zero features => C = 0, c' = |o|^2 > 0, disc <= 0
+    attrT = np.zeros((8, S_pad), np.float32)
+    attrT[0:3, :n_spheres] = c0.T
+    attrT[3:6, :n_spheres] = v.T
+    attrT[6, :n_spheres] = r
+    attrT[6, n_spheres:] = 1.0  # never selected; avoids 1/r = inf on pads
+    attrT[7, :n_spheres] = m
+    return jnp.asarray(F), jnp.asarray(attrT), S_pad
+
+
+def _sphere_mxu_kernel(F_ref, attrT_ref,
+                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+                       t_ref, nx_ref, ny_ref, nz_ref, mat_ref,
+                       rf_s, *, s_pad: int, t_min: float):
+    """Closest sphere hit via the bilinear-feature MXU formulation.
+
+    Per sublane row of the ray block: build the (16, NL) ray-feature
+    matrix, one f32 matmul against the sphere features gives the B/C
+    coefficient planes for all spheres at once ((S_pad, NL), spheres on
+    sublanes, rays on lanes), the per-pair root selection runs ~15 VPU ops
+    (vs ~38 in the scalar-loop kernel), the winner is an argmin over
+    sublanes, and its attributes come from a one-hot matmul against the
+    transposed sphere table.  The winner's t is Newton-refined against the
+    cancellation-free direct quadratic (see sphere_mxu_features).
+    """
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (s_pad, _MXU_NL), 0)
+
+    for row in range(_MXU_ROWS):
+        rs = slice(row, row + 1)
+        ox, oy, oz = ox_ref[rs, :], oy_ref[rs, :], oz_ref[rs, :]
+        dx, dy, dz = dx_ref[rs, :], dy_ref[rs, :], dz_ref[rs, :]
+        tm = tm_ref[rs, :]
+
+        rf_s[0:1, :] = dx
+        rf_s[1:2, :] = dy
+        rf_s[2:3, :] = dz
+        rf_s[3:4, :] = tm * dx
+        rf_s[4:5, :] = tm * dy
+        rf_s[5:6, :] = tm * dz
+        rf_s[6:7, :] = ox
+        rf_s[7:8, :] = oy
+        rf_s[8:9, :] = oz
+        rf_s[9:10, :] = tm * ox
+        rf_s[10:11, :] = tm * oy
+        rf_s[11:12, :] = tm * oz
+        rf_s[12:13, :] = jnp.ones(tm.shape, jnp.float32)
+        rf_s[13:14, :] = tm
+        rf_s[14:15, :] = tm * tm
+        rf_s[15:16, :] = jnp.zeros(tm.shape, jnp.float32)
+
+        BC = jax.lax.dot_general(
+            F_ref[:, :], rf_s[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # f32 passes, NOT bf16
+        )  # (2*S_pad, NL)
+        B = BC[0:s_pad, :]
+        C = BC[s_pad : 2 * s_pad, :]
+
+        a = dx * dx + dy * dy + dz * dz
+        neg_inv_a = -1.0 / a
+        od = ox * dx + oy * dy + oz * dz
+        o2 = ox * ox + oy * oy + oz * oz
+        # acceptance margin: candidate t carries the expanded-quadratic
+        # rounding error, so accept against 2*t_min — a false self-hit
+        # (true root 0 rounded past t_min) is rejected, while legitimate
+        # hits closer than 2e-3 to a surface are vanishingly rare
+        t_sel = 2.0 * t_min
+        ta2 = -t_sel * a
+
+        b = od - B  # oc.d, broadcast (1, NL) rows over spheres
+        c = C + o2  # |oc|^2 - r^2
+        disc = b * b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        s2 = jnp.where(b + sq < ta2, sq, -sq)
+        cand = (b + s2) * neg_inv_a
+        ok = (disc > 0.0) & (cand > t_sel)
+        tc = jnp.where(ok, cand, BIG)
+
+        best = jnp.min(tc, axis=0, keepdims=True)  # (1, NL)
+        hit = best < BIG * 0.5
+        sid = jnp.min(
+            jnp.where(tc == best, iota_s, s_pad), axis=0, keepdims=True
+        )
+        oh = (iota_s == sid).astype(jnp.float32)  # (S_pad, NL)
+        A = jax.lax.dot_general(
+            attrT_ref[:, :], oh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (8, NL) winner rows; exact (one-hot selects full-precision rows)
+
+        cx = A[0:1, :] + tm * A[3:4, :]
+        cy = A[1:2, :] + tm * A[4:5, :]
+        cz = A[2:3, :] + tm * A[5:6, :]
+        r = A[6:7, :]
+
+        # Newton step on the direct (cancellation-free) quadratic restores
+        # the hit t to brute-force accuracy: t -= f(t)/f'(t) with
+        # f(t) = |o + t d - c|^2 - r^2.
+        px = ox + best * dx - cx
+        py = oy + best * dy - cy
+        pz = oz + best * dz - cz
+        f = px * px + py * py + pz * pz - r * r
+        fp = 2.0 * (dx * px + dy * py + dz * pz)
+        t_fix = best - f / jnp.where(jnp.abs(fp) > 1e-12, fp, 1.0)
+        t_out = jnp.where(hit & (jnp.abs(fp) > 1e-12), t_fix, best)
+
+        inv_r = 1.0 / r
+        nx = (ox + t_out * dx - cx) * inv_r
+        ny = (oy + t_out * dy - cy) * inv_r
+        nz = (oz + t_out * dz - cz) * inv_r
+
+        t_ref[rs, :] = jnp.where(hit, t_out, BIG)
+        nx_ref[rs, :] = nx
+        ny_ref[rs, :] = ny
+        nz_ref[rs, :] = nz
+        mat_ref[rs, :] = jnp.where(
+            hit, A[7:8, :].astype(jnp.int32), 0
+        )
+
+
+def sphere_hit_attrs_mxu(
+    F: jnp.ndarray,  # (2*S_pad, 16) from sphere_mxu_features
+    attrT: jnp.ndarray,  # (8, S_pad)
+    o,  # 3-tuple of (R,) planes
+    d,
+    tm: jnp.ndarray,
+    *,
+    s_pad: int,
+    needs_uv: bool,
+    interpret: bool = False,
+):
+    """MXU-formulation equivalent of sphere_hit_attrs_planar (same outputs:
+    (t, normal 3-tuple, u, v, mat), each (R,))."""
+    R = o[0].shape[0]
+    blk = _MXU_ROWS * _MXU_NL
+    assert R % blk == 0, R
+    rows = R // _MXU_NL
+    grid = rows // _MXU_ROWS
+    ray_spec = pl.BlockSpec(
+        (_MXU_ROWS, _MXU_NL), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def plane(x):
+        return x.reshape(rows, _MXU_NL)
+
+    comps = tuple(plane(c) for c in (*o, *d, tm))
+    f32 = jax.ShapeDtypeStruct((rows, _MXU_NL), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, _MXU_NL), jnp.int32)
+    t, nx, ny, nz, mat = pl.pallas_call(
+        functools.partial(_sphere_mxu_kernel, s_pad=s_pad, t_min=1e-3),
+        grid=(grid,),
+        in_specs=[tab_spec, tab_spec] + [ray_spec] * 7,
+        out_specs=(ray_spec,) * 5,
+        out_shape=(f32, f32, f32, f32, i32),
+        scratch_shapes=[pltpu.VMEM((16, _MXU_NL), jnp.float32)],
+        interpret=interpret,
+    )(F, attrT, *comps)
+    normal = (nx.reshape(R), ny.reshape(R), nz.reshape(R))
+    if needs_uv:
+        theta = jnp.arccos(jnp.clip(-normal[1], -1.0, 1.0))
+        phi = jnp.arctan2(-normal[2], normal[0]) + jnp.pi
+        u = phi * (0.5 / jnp.pi)
+        v = theta * (1.0 / jnp.pi)
+    else:
+        u = v = jnp.zeros((R,), jnp.float32)
+    return t.reshape(R), normal, u, v, mat.reshape(R)
+
+
+# ---------------------------------------------------------------------------
 # Block-synchronous cluster culling (2-level BVH, TPU-native)
 # ---------------------------------------------------------------------------
 

@@ -84,18 +84,24 @@ def _fused_refill_ok(R: int) -> bool:
 _DBG = __import__("os").environ.get("ART_TPU_DBG", "")
 _NO_FLUSH = bool(__import__("os").environ.get("ART_TPU_NO_FLUSH"))
 # Framebuffer flush strategy:
-# auto (matmul on TPU, aos elsewhere) | aos | aos4 | planar | planar_drop |
-# drop | subslot | matmul.  Measured on v5e (docs/PERF_NOTES.md r2): the
-# MXU one-hot matmul accumulate beats the colliding scatter-add by ~0.5
-# ms/iter (+28% throughput); every other variant loses.
+# auto (pallas on TPU, aos elsewhere) | aos | aos4 | planar | planar_drop |
+# drop | subslot | matmul | pallas.  Measured on v5e (docs/PERF_NOTES.md
+# r2): the MXU one-hot matmul accumulate beats the colliding scatter-add by
+# ~0.5 ms/iter (+28% throughput); the Pallas kernel (ops/flush_kernel.py)
+# additionally builds the one-hot operands in VMEM instead of streaming
+# ~230 MB/iter of them through HBM.
 _FLUSH_ENV = __import__("os").environ.get("ART_TPU_FLUSH", "auto")
 
 
-def _flush_mode() -> str:
+def _flush_mode(R: int) -> str:
     """Resolved at trace time so importing this module never initializes
     the JAX backend (dryrun_multichip overrides the platform after import)."""
     if _FLUSH_ENV == "auto":
-        return "matmul" if jax.default_backend() == "tpu" else "aos"
+        if jax.default_backend() != "tpu":
+            return "aos"
+        from art_tpu.ops.flush_kernel import RAY_BLOCK
+
+        return "pallas" if R % RAY_BLOCK == 0 else "matmul"
     return _FLUSH_ENV
 
 
@@ -279,7 +285,10 @@ def render_wavefront(
     ncols = _n_uniform_cols(tables)
     # Safety bound: every queue element costs <= max_depth iterations.
     max_iters = (n_q * max_depth) // R + max_depth + 2
-    _FLUSH = _flush_mode()
+    _FLUSH = _flush_mode(R)
+    # planar framebuffer rows for the pallas/matmul one-hot flush; padded to
+    # a sublane multiple so the kernel block shape is legal
+    n_hi_pallas = -(-(-(-P // 128)) // 8) * 8
 
     ones = jnp.ones((R,), jnp.float32)
     zeros = jnp.zeros((R,), jnp.float32)
@@ -297,6 +306,8 @@ def render_wavefront(
         fb=(
             tuple(jnp.zeros((P,), jnp.float32) for _ in range(3))
             if _FLUSH.startswith("planar")
+            else jnp.zeros((n_hi_pallas, 384), jnp.float32)
+            if _FLUSH == "pallas"
             else jnp.zeros((-(-P // 128), 384), jnp.float32)
             if _FLUSH == "matmul"
             else jnp.zeros(
@@ -431,6 +442,13 @@ def render_wavefront(
                 st.fb[c].at[pix_w].add(radiance[c], mode="drop")
                 for c in range(3)
             )
+        elif _FLUSH == "pallas":
+            from art_tpu.ops.flush_kernel import flush_accumulate
+
+            fb = flush_accumulate(
+                pix, died, radiance, st.fb,
+                interpret=jax.default_backend() != "tpu",
+            )
         elif _FLUSH == "matmul":
             # MXU flush: fb[hi, c*128+lo] += sum_r onehot_hi[r] * W[r]
             # with W = onehot_lo * radiance — replaces the colliding
@@ -507,7 +525,8 @@ def render_wavefront(
     final = jax.lax.while_loop(cond, body, state)
     if isinstance(final.fb, tuple):
         fb = jnp.stack(final.fb, axis=-1)
-    elif _FLUSH == "matmul":
+    elif _FLUSH in ("pallas", "matmul"):
+        # (n_hi, 384) [hi, c*128+lo] -> (P, 3)
         n_hi = final.fb.shape[0]
         fb = (
             final.fb.reshape(n_hi, 3, 128)

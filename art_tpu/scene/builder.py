@@ -482,6 +482,33 @@ class _Compiler:
             quad_packed=pack_quads(tables),
             box_packed=pack_boxes(tables),
         )
+        if tables.n_spheres:
+            from art_tpu.ops.pallas_kernels import sphere_mxu_features
+
+            # Gate the expanded-quadratic MXU path by coordinate scale: its
+            # c' error is ~2^-23 * |o||c| (the |c0|^2 - r^2 feature itself is
+            # precomputed exactly) and must stay below t_min-scale so
+            # candidate acceptance (self-hit avoidance, t1/t2 root choice)
+            # matches the direct form; the winner t is Newton-refined
+            # in-kernel and the kernel uses a 2*t_min acceptance margin.
+            # Ray origins live on scene surfaces, whose extent is set by the
+            # SECOND-largest sphere reach: the classic huge ground sphere
+            # (|c| ~ r ~ 1000) only exposes its near-origin cap, and its
+            # r >> err makes it insensitive anyway.
+            p = np.asarray(tables.sph_packed)[: tables.n_spheres]
+            reach = np.abs(p[:, 0:3]).max(axis=1) + np.abs(p[:, 3:6]).max(
+                axis=1
+            ) + np.abs(p[:, 6])
+            reach = np.sort(reach)
+            second = float(reach[-2]) if len(reach) > 1 else float(reach[-1])
+            if second <= 64.0 and float(reach[-1]) <= 4096.0:
+                F, attrT, s_pad = sphere_mxu_features(
+                    tables.sph_packed, tables.n_spheres
+                )
+                tables = dataclasses.replace(
+                    tables, sph_mxu_feat=F, sph_mxu_attr=attrT,
+                    mxu_sphere_pad=s_pad,
+                )
         # Cluster-culling copies (only worthwhile past a handful of
         # primitives; below that the brute kernels win).
         if tables.n_spheres >= 32:

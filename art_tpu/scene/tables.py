@@ -139,6 +139,9 @@ class SceneTables:
     mat_packed: jnp.ndarray  # (M, 8)  [type tex fuzz ref_idx r g b mat?]
     tex_packed: jnp.ndarray  # (T, 18) [type p0..p7 child0 child1 img rgb(3) rgb2(3)]
     quad_attr_packed: jnp.ndarray  # (Q, 16) [q(3) u(3) v(3) w(3) n(3) mat]
+    # MXU-formulation sphere tables (ops/pallas_kernels.sphere_mxu_features)
+    sph_mxu_feat: jnp.ndarray  # (2*S_pad, 16) bilinear quadratic features
+    sph_mxu_attr: jnp.ndarray  # (8, S_pad) transposed packed table
 
     # ---- static metadata (specializes the compiled trace per scene) ----
     n_spheres: int = _static()
@@ -151,6 +154,10 @@ class SceneTables:
     has_moving: bool = _static()
     has_rotated_boxes: bool = _static()
     tex_types_present: tuple = _static()  # sorted tuple of TexType ints present
+    # Padded sphere count of the MXU intersection path; 0 disables it
+    # (scene coordinate scale too large for the expanded quadratic — see
+    # sphere_mxu_features precision note).
+    mxu_sphere_pad: int = _static()
 
 
 def _z(shape, dtype=jnp.float32):
@@ -213,6 +220,8 @@ def empty_tables() -> dict:
         mat_packed=_z((1, 8)),
         tex_packed=_z((1, 18)),
         quad_attr_packed=_z((1, 16)),
+        sph_mxu_feat=_z((2, 16)),
+        sph_mxu_attr=_z((8, 1)),
         n_spheres=0,
         n_quads=0,
         n_boxes=0,
@@ -223,4 +232,5 @@ def empty_tables() -> dict:
         has_moving=False,
         has_rotated_boxes=False,
         tex_types_present=(),
+        mxu_sphere_pad=0,
     )

@@ -264,3 +264,89 @@ def test_box_cluster_kernel_matches_brute():
         np.asarray(v_c)[hit][tight], np.asarray(v_b)[hit][tight],
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_flush_kernel_matches_scatter():
+    """ops/flush_kernel.py: the in-VMEM one-hot MXU flush must equal a
+    direct per-pixel scatter-add to bf16-rounding tolerance."""
+    from art_tpu.ops.flush_kernel import flush_accumulate
+
+    R = RB
+    n_hi = 16  # P = 2048 pixels
+    P = n_hi * 128
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(7), 3)
+    pix = jax.random.randint(k0, (R,), 0, P, jnp.int32)
+    died = jax.random.uniform(k1, (R,)) < 0.3
+    rad = jax.random.uniform(k2, (R, 3), jnp.float32) * 3.0
+    fb0 = jnp.ones((n_hi, 384), jnp.float32)  # non-zero initial acc
+
+    out = flush_accumulate(
+        pix, died, (rad[:, 0], rad[:, 1], rad[:, 2]), fb0, interpret=True
+    )
+
+    # reference: fb[p//128, c*128 + p%128] += rad[r, c] for died r
+    ref = np.ones((3, P), np.float32)
+    w = np.where(np.asarray(died))[0]
+    np.add.at(ref[0], np.asarray(pix)[w], np.asarray(rad)[w, 0])
+    np.add.at(ref[1], np.asarray(pix)[w], np.asarray(rad)[w, 1])
+    np.add.at(ref[2], np.asarray(pix)[w], np.asarray(rad)[w, 2])
+    got = (
+        np.asarray(out).reshape(n_hi, 3, 128).transpose(1, 0, 2).reshape(3, P)
+    )
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_sphere_mxu_kernel_matches_jnp():
+    """The bilinear-feature MXU sphere kernel must agree with the jnp path
+    on the builder-gated bouncing_spheres tables (moving + signed radius).
+
+    Hit/miss may legitimately flip on near-tangent lanes (the expanded
+    quadratic rounds disc differently), so the comparison is restricted to
+    lanes where both paths agree on hit — but that agreement must cover
+    ~all lanes."""
+    tables = build_scene("bouncing_spheres", 64, 32).tables
+    assert tables.mxu_sphere_pad > 0, "builder should gate this scene in"
+    o, d, tm = _ray_batch(11, RB)
+
+    t_m, n_m, u_m, v_m, mat_m = pk.sphere_hit_attrs_mxu(
+        tables.sph_mxu_feat, tables.sph_mxu_attr, o, d, tm,
+        s_pad=tables.mxu_sphere_pad, needs_uv=True, interpret=True,
+    )
+    t_j, idx_j = intersect.sphere_candidates_p(tables, o, d, tm, T_MIN)
+    n_j, u_j, v_j, mat_j = intersect.sphere_attributes_p(
+        tables, o, d, tm, t_j, idx_j, needs_uv=True
+    )
+
+    hit_m = _hit_mask(t_m)
+    hit_j = _hit_mask(t_j)
+    assert hit_j.any() and (~hit_j).any()
+    assert (hit_m == hit_j).mean() > 0.999, "hit/miss disagreement"
+    both = hit_m & hit_j
+    # tight_atol floor 1e-3: short-range hits on the r=1000 ground sphere
+    # carry ~1e-4..1e-3 *absolute* f32 noise in BOTH paths (|p| ~ 1000 makes
+    # f = |p|^2 - r^2 round at that scale), so relative-only comparison is
+    # beyond either path's true accuracy there; winner identity is exact.
+    tight = _assert_two_tier(
+        np.asarray(t_m)[both], np.asarray(t_j)[both],
+        tight_rtol=2e-5, tight_atol=1e-3,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mat_m)[both][tight], np.asarray(mat_j)[both][tight]
+    )
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(n_m[c])[both][tight], np.asarray(n_j[c])[both][tight],
+            rtol=1e-3, atol=4e-3,
+        )
+    np.testing.assert_allclose(
+        np.asarray(u_m)[both][tight], np.asarray(u_j)[both][tight], atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_m)[both][tight], np.asarray(v_j)[both][tight], atol=1e-3
+    )
+
+
+def test_sphere_mxu_gate_rejects_large_scenes():
+    """final_scene's ~500-unit coordinates must stay on the exact path."""
+    tables = build_scene("final_scene", 64, 64).tables
+    assert tables.mxu_sphere_pad == 0

@@ -134,10 +134,16 @@ def test_matmul_flush_matches_scatter_flush(monkeypatch):
     scene = build_scene("three_spheres", 48, 27)
     cfg = RenderConfig(nx=48, ny=27, spp=8, max_depth=8)
 
+    from art_tpu.render import renderer
+
     monkeypatch.setattr(integrator, "_FLUSH_ENV", "aos")
     ref, _ = render_scene(scene, cfg)
+    # the flush mode is not part of the jit cache key: force a retrace, or
+    # the second render silently reuses the first compiled program
+    renderer._wavefront_jit.clear_cache()
     monkeypatch.setattr(integrator, "_FLUSH_ENV", "matmul")
     got, _ = render_scene(scene, cfg)
+    assert not np.array_equal(got, ref)  # bf16 rounding must be visible
     # identical sampling; only the flush arithmetic differs (one bf16
     # rounding per died sample before an exact f32 accumulation)
     np.testing.assert_allclose(got, ref, rtol=6e-3, atol=2e-3)
