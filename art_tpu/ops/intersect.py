@@ -236,10 +236,23 @@ def box_candidates_p(tables: SceneTables, o, d, t_min):
 def sphere_attributes_p(tables: SceneTables, o, d, time, t, idx, needs_uv: bool):
     """Normal/uv for the winning sphere (src/sphere.cuh:69-86).
 
-    One packed-row fetch supplies center/velocity/radius/material."""
+    One packed-row fetch supplies center/velocity/radius/material.
+
+    Assembles an original-order row table on the fly: ``tables.sph_packed``
+    is kernel-ordered (moving-first, pack_spheres) while ``idx`` comes from
+    ``sphere_candidates_p`` which scans ``tables.sph_*`` in scene order."""
     from art_tpu.ops.gather import take_rows
 
-    row = take_rows(tables.sph_packed, idx)  # (R,8)
+    tab = jnp.concatenate(
+        [
+            tables.sph_center,
+            tables.sph_vel,
+            tables.sph_radius[:, None],
+            tables.sph_mat.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+    row = take_rows(tab, idx)  # (R,8)
     cx, cy, cz = row[:, 0], row[:, 1], row[:, 2]
     r = row[:, 6]
     mat = row[:, 7].astype(jnp.int32)
@@ -398,7 +411,8 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
             else:
                 t_s, n_s, u_s, v_s, m_s = pk.sphere_hit_attrs_planar(
                     tables.sph_packed, o, d, time,
-                    n_spheres=tables.n_spheres, moving=tables.has_moving,
+                    n_moving=tables.sph_n_moving_pad,
+                    n_static=tables.sph_n_static,
                     needs_uv=needs_uv,
                 )
             sph_attrs = (n_s, u_s, v_s, m_s)

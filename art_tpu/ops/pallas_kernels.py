@@ -33,7 +33,7 @@ RAY_BLOCK = _SUBLANES * _LANES
 
 def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    tm_ref, t_ref, nx_ref, ny_ref, nz_ref, mat_ref,
-                   *, n_spheres: int, t_min: float, moving: bool):
+                   *, n_static: int, t_min: float, n_moving: int):
     """Closest sphere hit with winner attributes computed in-kernel.
 
     Carrying the winning sphere's (time-evaluated) center/radius/material
@@ -42,6 +42,12 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     sphere table afterwards (reference normal math: src/sphere.cuh:69-86).
     Spherical UV (acos/atan2) is computed by the caller — Mosaic has no
     acos lowering.
+
+    pack_spheres sorts moving spheres to the front (rows [0, n_moving),
+    already padded to an UNROLL multiple) followed by n_static real static
+    rows plus inert tail padding; the scan runs as two loops so static
+    spheres skip the center-motion FMAs entirely (mixed scenes like
+    final_scene are 1006/1007 static).
     """
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -59,13 +65,21 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         zeros,  # material id (as f32)
     )
 
-    def candidate(s):
-        """(t, cx, cy, cz, r, m, hit_ok) for sphere s against the whole block."""
+    def candidate(s, moving):
+        """(t, cx, cy, cz, r, m) for sphere s against the whole block.
+
+        Misses are rejected by NaN propagation: disc < 0 makes sqrt(disc)
+        NaN, which flows through to ``cand`` and fails every comparison in
+        ``update`` — saving the max(disc, 0) clamp, the strict disc > 0
+        compare, and an AND per sphere.  One semantic hair vs the jnp
+        reference: an exactly-zero discriminant (true tangent, measure-zero
+        under fp) is accepted here and rejected there."""
         cx = sph_ref[s, 0]
         cy = sph_ref[s, 1]
         cz = sph_ref[s, 2]
         r = sph_ref[s, 6]
         m = sph_ref[s, 7]
+        r2 = sph_ref[s, 8]
         if moving:
             cx = cx + tm * sph_ref[s, 3]
             cy = cy + tm * sph_ref[s, 4]
@@ -74,20 +88,19 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         ocy = oy - cy
         ocz = oz - cz
         b = ocx * dx + ocy * dy + ocz * dz
-        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r2
         disc = b * b - a * c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sq = jnp.sqrt(disc)  # NaN on miss, by design
         # fused t1/t2 fallback: t = (-b - sign*sq)/a with the near root
         # taken when t1 > t_min, i.e. (b + sq) < -t_min*a
         s2 = jnp.where(b + sq < ta2, sq, -sq)
         cand = (b + s2) * neg_inv_a
-        ok = (disc > 0.0) & (cand > t_min)
-        return cand, cx, cy, cz, r, m, ok
+        return cand, cx, cy, cz, r, m
 
     def update(carry, cand):
         best_t, bcx, bcy, bcz, br, bm = carry
-        t, cx, cy, cz, r, m, ok = cand
-        better = ok & (t < best_t)
+        t, cx, cy, cz, r, m = cand
+        better = (t > t_min) & (t < best_t)  # false on NaN (miss)
         return (
             jnp.where(better, t, best_t),
             jnp.where(better, cx, bcx),
@@ -98,17 +111,29 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         )
 
     # unrolled to amortize the fori_loop backedge overhead (~1.2 us per
-    # iteration measured on v5e — scripts/exp_unroll.py); table padded to a
-    # multiple of UNROLL by pack_spheres
+    # iteration measured on v5e — scripts/exp_unroll.py); both table
+    # segments are padded to a multiple of UNROLL by pack_spheres
     UNROLL = 16
-    def body(i, carry):
+
+    def body_moving(i, carry):
         s = i * UNROLL
         for k in range(UNROLL):
-            carry = update(carry, candidate(s + k))
+            carry = update(carry, candidate(s + k, True))
         return carry
 
-    nu = (n_spheres + UNROLL - 1) // UNROLL
-    best_t, bcx, bcy, bcz, br, bm = jax.lax.fori_loop(0, nu, body, init)
+    def body_static(i, carry):
+        s = n_moving + i * UNROLL
+        for k in range(UNROLL):
+            carry = update(carry, candidate(s + k, False))
+        return carry
+
+    carry = init
+    if n_moving:
+        carry = jax.lax.fori_loop(0, n_moving // UNROLL, body_moving, carry)
+    if n_static > 0:
+        nu = (n_static + UNROLL - 1) // UNROLL
+        carry = jax.lax.fori_loop(0, nu, body_static, carry)
+    best_t, bcx, bcy, bcz, br, bm = carry
 
     # winner attributes (src/sphere.cuh:69-86); garbage on miss lanes, which
     # the caller blends out by hit mask
@@ -134,13 +159,13 @@ def _ray_grid(R: int):
 
 
 def sphere_hit_attrs_planar(
-    sph_packed: jnp.ndarray,  # (S, 8) [cx cy cz vx vy vz radius mat]
+    sph_packed: jnp.ndarray,  # (S, 9) pack_spheres rows (moving-first)
     o,  # 3-tuple of (R,) planes
     d,  # 3-tuple of (R,) planes
     tm: jnp.ndarray,  # (R,)
     *,
-    n_spheres: int,
-    moving: bool,
+    n_moving: int,  # padded moving-segment size (pack_spheres)
+    n_static: int,  # real static count (pack_spheres)
     needs_uv: bool,
     interpret: bool = False,
 ):
@@ -159,7 +184,7 @@ def sphere_hit_attrs_planar(
     i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
     t, nx, ny, nz, mat = pl.pallas_call(
         functools.partial(
-            _sphere_kernel, n_spheres=n_spheres, t_min=1e-3, moving=moving
+            _sphere_kernel, n_static=n_static, t_min=1e-3, n_moving=n_moving
         ),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
@@ -582,51 +607,57 @@ def cluster_spheres(tables):
         np.asarray(tables.sph_center), np.asarray(tables.sph_vel),
         np.asarray(tables.sph_radius),
     )
-    packed = np.asarray(pack_spheres(tables))[: tables.n_spheres]
+    packed = _sphere_rows(tables)[: tables.n_spheres]
     reordered, boxes, n_cl, _ = cluster_primitives(
         bmin, bmax, packed, SPHERE_CLUSTER
     )
     return jnp.asarray(reordered), jnp.asarray(boxes), n_cl
 
 
-@functools.partial(jax.jit, static_argnames=("n_spheres", "moving"))
-def sphere_closest_hit_pallas(
-    sph_packed: jnp.ndarray,
-    o: jnp.ndarray,  # (R, 3)
-    d: jnp.ndarray,  # (R, 3)
-    tm: jnp.ndarray,  # (R,)
-    *,
-    n_spheres: int,
-    moving: bool,
-):
-    """(R,3) compatibility wrapper: returns (t, mat-as-winner-id-proxy).
+def _sphere_rows(tables):
+    """(S, 9) [cx cy cz vx vy vz radius mat r2] rows in ORIGINAL scene
+    order (numpy) — shared by pack_spheres / cluster_spheres."""
+    import numpy as np
 
-    Kept for benchmarks; the integrator uses sphere_hit_attrs_planar."""
-    t, _n, _u, _v, mat = sphere_hit_attrs_planar(
-        sph_packed,
-        (o[:, 0], o[:, 1], o[:, 2]),
-        (d[:, 0], d[:, 1], d[:, 2]),
-        tm,
-        n_spheres=n_spheres,
-        moving=moving,
-        needs_uv=False,
-    )
-    return t, mat
+    center = np.asarray(tables.sph_center)
+    vel = np.asarray(tables.sph_vel)
+    radius = np.asarray(tables.sph_radius)
+    S = center.shape[0]
+    rows = np.zeros((S, 9), np.float32)
+    rows[:, 0:3] = center
+    rows[:, 3:6] = vel
+    rows[:, 6] = radius
+    rows[:, 7] = np.asarray(tables.sph_mat)
+    rows[:, 8] = radius * radius
+    return rows
 
 
-def pack_spheres(tables) -> jnp.ndarray:
-    """(S_pad, 8) packed sphere table: [cx cy cz vx vy vz radius mat].
+def pack_spheres(tables) -> tuple[jnp.ndarray, int, int]:
+    """Kernel-ordered sphere table: [cx cy cz vx vy vz radius mat r2].
 
-    Padded to a multiple of 16 for the unrolled kernel loop; pad rows have
-    radius 0, which can never hit (disc = (oc.d)^2 - |d|^2|oc|^2 <= 0)."""
-    S = tables.sph_center.shape[0]
-    S_pad = -(-S // 16) * 16
-    out = jnp.zeros((S_pad, 8), jnp.float32)
-    out = out.at[:S, 0:3].set(tables.sph_center)
-    out = out.at[:S, 3:6].set(tables.sph_vel)
-    out = out.at[:S, 6].set(tables.sph_radius)
-    out = out.at[:S, 7].set(tables.sph_mat.astype(jnp.float32))
-    return out
+    Returns (packed (Sm_pad + Ss_pad, 9), n_moving_pad, n_static) with
+    moving spheres sorted to the front so the kernel's static loop skips
+    the center-motion FMAs.  The reorder is invisible outside the kernel —
+    winner attributes come out of the kernel itself, the jnp reference path
+    indexes the unordered ``tables.sph_*`` columns.
+
+    Column 8 is the precomputed r*r the kernel's quadratic uses (column 6
+    keeps the SIGNED radius for the hollow-glass normal flip).  Each
+    segment is padded to a multiple of 16 for the unrolled loop; pad rows
+    get r2 = -1 so disc = (oc.d)^2 - |d|^2(|oc|^2 + 1) < 0 strictly
+    (Cauchy-Schwarz) and the NaN-reject can never accept them."""
+    import numpy as np
+
+    rows = _sphere_rows(tables)
+    is_moving = np.any(rows[:, 3:6] != 0.0, axis=1)
+    mov, stat = rows[is_moving], rows[~is_moving]
+    sm_pad = -(-len(mov) // 16) * 16 if len(mov) else 0
+    ss_pad = -(-len(stat) // 16) * 16
+    out = np.zeros((sm_pad + ss_pad, 9), np.float32)
+    out[:, 8] = -1.0
+    out[: len(mov)] = mov
+    out[sm_pad : sm_pad + len(stat)] = stat
+    return jnp.asarray(out), sm_pad, len(stat)
 
 
 # ---------------------------------------------------------------------------
@@ -749,32 +780,37 @@ def _box_kernel(bx_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
     zeros = jnp.zeros(ox.shape, jnp.float32)
+    # Non-rotated scenes: pack_boxes folded the translation into min/max, so
+    # the carry drops cos/sin/off (5 fewer selects per box per ray) and the
+    # candidate skips the local-frame translation (3 fewer subs).
     init = (
         jnp.full(ox.shape, BIG, jnp.float32),
         zeros, zeros, zeros,  # bmin
         zeros + 1.0, zeros + 1.0, zeros + 1.0,  # bmax
-        zeros + 1.0, zeros,  # cos, sin
-        zeros, zeros, zeros,  # off
+    ) + (
+        (zeros + 1.0, zeros, zeros, zeros, zeros) if rotated else ()  # cos sin off
+    ) + (
         zeros,  # mat
     )
 
     def candidate(b):
         mnx, mny, mnz = bx_ref[b, 0], bx_ref[b, 1], bx_ref[b, 2]
         mxx, mxy, mxz = bx_ref[b, 3], bx_ref[b, 4], bx_ref[b, 5]
-        offx, offy, offz = bx_ref[b, 8], bx_ref[b, 9], bx_ref[b, 10]
         m = bx_ref[b, 11]
 
-        lox = ox - offx
-        loy = oy - offy
-        loz = oz - offz
         ldx, ldy, ldz = dx, dy, dz
         if rotated:
+            offx, offy, offz = bx_ref[b, 8], bx_ref[b, 9], bx_ref[b, 10]
+            lox = ox - offx
+            loy = oy - offy
+            loz = oz - offz
             ct, st = bx_ref[b, 6], bx_ref[b, 7]
             lox, loz = ct * lox - st * loz, st * lox + ct * loz
             ldx, ldz = ct * ldx - st * ldz, st * ldx + ct * ldz
+            extra = (ct, st, offx, offy, offz)
         else:
-            ct = jnp.float32(1.0)
-            st = jnp.float32(0.0)
+            lox, loy, loz = ox, oy, oz
+            extra = ()
 
         ix = 1.0 / _safe_div_dir(ldx)
         iy = 1.0 / _safe_div_dir(ldy)
@@ -799,7 +835,7 @@ def _box_kernel(bx_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             t0,
             jnp.where(through & (t1 > t_min), t1, BIG),
         )
-        return t, (mnx, mny, mnz, mxx, mxy, mxz, ct, st, offx, offy, offz, m)
+        return t, (mnx, mny, mnz, mxx, mxy, mxz) + extra + (m,)
 
     def update(carry, cand):
         best_t = carry[0]
@@ -821,8 +857,16 @@ def _box_kernel(bx_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         return carry
 
     nu = (n_boxes + UNROLL - 1) // UNROLL
-    (best_t, mnx, mny, mnz, mxx, mxy, mxz,
-     ct, st, offx, offy, offz, bm) = jax.lax.fori_loop(0, nu, body, init)
+    out = jax.lax.fori_loop(0, nu, body, init)
+    best_t, mnx, mny, mnz, mxx, mxy, mxz = out[:7]
+    if rotated:
+        ct, st, offx, offy, offz = out[7:12]
+    else:
+        ones = jnp.ones(ox.shape, jnp.float32)
+        zeros = jnp.zeros(ox.shape, jnp.float32)
+        ct, st = ones, zeros
+        offx = offy = offz = zeros
+    bm = out[-1]
 
     _box_write_winner_attrs(
         ox, oy, oz, dx, dy, dz, best_t,
@@ -1147,14 +1191,22 @@ def pack_boxes(tables) -> jnp.ndarray:
     """(B_pad, 12) packed box table: [min(3) max(3) cos sin off(3) mat].
 
     Padded to a multiple of 16 for the unrolled kernel loop; pad rows are
-    zero-size boxes (t_entry == t_exit, never `through`)."""
+    zero-size boxes (t_entry == t_exit, never `through`).
+
+    When the scene has no rotated boxes the translation offsets are folded
+    into min/max (world-space AABBs, off := 0) so the kernel's non-rotated
+    path skips the local-frame translation and its winner carry entirely."""
     B = tables.box_min.shape[0]
     B_pad = -(-B // 16) * 16
     out = jnp.zeros((B_pad, 12), jnp.float32)
-    out = out.at[:B, 0:3].set(tables.box_min)
-    out = out.at[:B, 3:6].set(tables.box_max)
+    if tables.has_rotated_boxes:
+        out = out.at[:B, 0:3].set(tables.box_min)
+        out = out.at[:B, 3:6].set(tables.box_max)
+        out = out.at[:B, 8:11].set(tables.box_off)
+    else:
+        out = out.at[:B, 0:3].set(tables.box_min + tables.box_off)
+        out = out.at[:B, 3:6].set(tables.box_max + tables.box_off)
     out = out.at[:B, 6].set(tables.box_cos)
     out = out.at[:B, 7].set(tables.box_sin)
-    out = out.at[:B, 8:11].set(tables.box_off)
     out = out.at[:B, 11].set(tables.box_mat.astype(jnp.float32))
     return out

@@ -28,6 +28,12 @@ from art_tpu.scene.tables import SceneTables, TexType
 MAX_TEX_DEPTH = 3  # wrapper chains in the reference are depth <= 2
 _TURB_MAX = 7  # noise_texture uses turb(p, 7) (src/texture.cuh:69)
 
+# perf-debug ablation stubs (read once at import, like integrator._DBG):
+# fake_image replaces the per-ray atlas gather with cheap arithmetic that
+# keeps the (img_id, u, v) dependencies alive; fake_turb likewise for the
+# 7-octave perlin turbulence.
+_DBG = __import__("os").environ.get("ART_TPU_DBG", "")
+
 
 def _smoothstep(edge0, edge1, x):
     """Cubic Hermite smoothstep (reference src/texture.cuh:78-82)."""
@@ -88,7 +94,12 @@ def eval_texture_p(
     out = (row[:, 12], row[:, 13], row[:, 14])  # SOLID default (rgb)
 
     if TexType.IMAGE in present:
-        img_val = tables.atlas.sample(row[:, 11].astype(jnp.int32), u, v)
+        img_id = row[:, 11].astype(jnp.int32)
+        if "fake_image" in _DBG:  # perf-debug: dependency-preserving stub
+            s = img_id.astype(jnp.float32) + u + v
+            img_val = jnp.stack([s, s * 0.5, s * 0.25], axis=-1)
+        else:
+            img_val = tables.atlas.sample(img_id, u, v)
         out = p_where(
             ttype == TexType.IMAGE,
             (img_val[:, 0], img_val[:, 1], img_val[:, 2]),
@@ -100,7 +111,10 @@ def eval_texture_p(
         if TexType.NOISE in present:
             # marble: 0.5*(1 + sin(scale*z + 10*turb(p,7)))  (src/texture.cuh:67-71)
             scale = row[:, 1]
-            tb = perlin.turb_p(px, py, pz, _TURB_MAX)
+            if "fake_turb" in _DBG:  # perf-debug: dependency-preserving stub
+                tb = 0.1 * (px + py + pz)
+            else:
+                tb = perlin.turb_p(px, py, pz, _TURB_MAX)
             t = 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * tb))
             out = p_where(ttype == TexType.NOISE, (t, t, t), out)
 

@@ -54,7 +54,8 @@ def plan_batches(n_pixels: int, spp: int, n_prims_max: int, cfg: RenderConfig):
     if jax.default_backend() == "tpu":
         from art_tpu.ops.pallas_kernels import RAY_BLOCK
 
-        n_slots = max(RAY_BLOCK, (cfg.tpu_slots // RAY_BLOCK) * RAY_BLOCK)
+        slots = int(os.environ.get("ART_TPU_SLOTS", 0)) or cfg.tpu_slots
+        n_slots = max(RAY_BLOCK, (slots // RAY_BLOCK) * RAY_BLOCK)
     else:
         n_prims_max = max(n_prims_max, 1)
         n_slots = max(1024, min(cfg.max_slots, cfg.batch_budget // n_prims_max))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -476,14 +477,20 @@ class _Compiler:
             pack_spheres,
         )
 
+        sph_packed, sph_n_moving_pad, sph_n_static = pack_spheres(tables)
         tables = dataclasses.replace(
             tables,
-            sph_packed=pack_spheres(tables),
+            sph_packed=sph_packed,
+            sph_n_moving_pad=sph_n_moving_pad,
+            sph_n_static=sph_n_static,
             quad_packed=pack_quads(tables),
             box_packed=pack_boxes(tables),
         )
         if tables.n_spheres:
-            from art_tpu.ops.pallas_kernels import sphere_mxu_features
+            from art_tpu.ops.pallas_kernels import (
+                _sphere_rows,
+                sphere_mxu_features,
+            )
 
             # Gate the expanded-quadratic MXU path by coordinate scale: its
             # c' error is ~2^-23 * |o||c| (the |c0|^2 - r^2 feature itself is
@@ -495,15 +502,20 @@ class _Compiler:
             # SECOND-largest sphere reach: the classic huge ground sphere
             # (|c| ~ r ~ 1000) only exposes its near-origin cap, and its
             # r >> err makes it insensitive anyway.
-            p = np.asarray(tables.sph_packed)[: tables.n_spheres]
-            reach = np.abs(p[:, 0:3]).max(axis=1) + np.abs(p[:, 3:6]).max(
-                axis=1
-            ) + np.abs(p[:, 6])
+            reach = (
+                np.abs(np.asarray(tables.sph_center)).max(axis=1)
+                + np.abs(np.asarray(tables.sph_vel)).max(axis=1)
+                + np.abs(np.asarray(tables.sph_radius))
+            )
             reach = np.sort(reach)
             second = float(reach[-2]) if len(reach) > 1 else float(reach[-1])
-            if second <= 64.0 and float(reach[-1]) <= 4096.0:
+            # ART_TPU_MXU_FORCE=1 bypasses the precision gate (perf
+            # experiments only — images will show acne at large scales).
+            if (second <= 64.0 and float(reach[-1]) <= 4096.0) or os.environ.get(
+                "ART_TPU_MXU_FORCE"
+            ):
                 F, attrT, s_pad = sphere_mxu_features(
-                    tables.sph_packed, tables.n_spheres
+                    _sphere_rows(tables), tables.n_spheres
                 )
                 tables = dataclasses.replace(
                     tables, sph_mxu_feat=F, sph_mxu_attr=attrT,

@@ -126,7 +126,7 @@ class SceneTables:
     atlas: ImageAtlas
 
     # ---- kernel-packed copies (built once at compile; see ops/pallas_kernels) ----
-    sph_packed: jnp.ndarray  # (S, 8)  [cx cy cz vx vy vz radius mat]
+    sph_packed: jnp.ndarray  # (S, 9)  [cx cy cz vx vy vz radius mat r2]
     quad_packed: jnp.ndarray  # (Q, 12)
     box_packed: jnp.ndarray  # (B, 12)
     # Cluster-culling copies (BVH-leaf order + per-cluster AABBs; the
@@ -158,6 +158,10 @@ class SceneTables:
     # (scene coordinate scale too large for the expanded quadratic — see
     # sphere_mxu_features precision note).
     mxu_sphere_pad: int = _static()
+    # Moving/static segmentation of sph_packed (pack_spheres): padded
+    # moving-block size and real static count for the split kernel loops.
+    sph_n_moving_pad: int = _static()
+    sph_n_static: int = _static()
 
 
 def _z(shape, dtype=jnp.float32):
@@ -210,7 +214,7 @@ def empty_tables() -> dict:
         tex_child=_z((1, 2), jnp.int32),
         tex_img=_z((1,), jnp.int32),
         atlas=ImageAtlas.empty(),
-        sph_packed=_z((1, 8)),
+        sph_packed=_z((1, 9)),
         quad_packed=_z((1, 12)),
         box_packed=_z((1, 12)),
         sph_cl_packed=_z((1, 8)),
@@ -233,4 +237,6 @@ def empty_tables() -> dict:
         has_rotated_boxes=False,
         tex_types_present=(),
         mxu_sphere_pad=0,
+        sph_n_moving_pad=0,
+        sph_n_static=0,
     )

@@ -63,7 +63,7 @@ def test_sphere_kernel_matches_jnp_candidates():
 
     t_k, n_k, u_k, v_k, mat_k = pk.sphere_hit_attrs_planar(
         tables.sph_packed, o, d, tm,
-        n_spheres=tables.n_spheres, moving=tables.has_moving,
+        n_moving=tables.sph_n_moving_pad, n_static=tables.sph_n_static,
         needs_uv=True, interpret=True,
     )
     t_j, idx_j = intersect.sphere_candidates_p(tables, o, d, tm, T_MIN)
@@ -101,7 +101,7 @@ def test_sphere_kernel_inside_hits_use_far_root():
     o, d, tm = _ray_batch(1, RB, origin_span=0.4, origin_center=(0.0, 0.0, -1.0))
     t_k, _, _, _, mat_k = pk.sphere_hit_attrs_planar(
         tables.sph_packed, o, d, tm,
-        n_spheres=tables.n_spheres, moving=tables.has_moving,
+        n_moving=tables.sph_n_moving_pad, n_static=tables.sph_n_static,
         needs_uv=False, interpret=True,
     )
     t_j, _ = intersect.sphere_candidates_p(tables, o, d, tm, T_MIN)
@@ -207,7 +207,7 @@ def test_sphere_cluster_kernel_matches_brute():
     )
     t_b, n_b, u_b, v_b, m_b = pk.sphere_hit_attrs_planar(
         tables.sph_packed, o, d, tm,
-        n_spheres=tables.n_spheres, moving=tables.has_moving,
+        n_moving=tables.sph_n_moving_pad, n_static=tables.sph_n_static,
         needs_uv=True, interpret=True,
     )
     hit = _hit_mask(t_b)
