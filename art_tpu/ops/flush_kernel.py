@@ -45,8 +45,8 @@ _GROUP = 16  # sublane rows contracted per dot: K = GROUP*128 = 2048
 # internal transpose copy of the 384-row W operand)
 
 
-def _flush_kernel(pix_ref, died_ref, r0_ref, r1_ref, r2_ref, fb_ref,
-                  out_ref, oh_s, w_s, *, n_hi: int):
+def _flush_kernel(base_ref, pix_ref, died_ref, r0_ref, r1_ref, r2_ref,
+                  fb_ref, out_ref, oh_s, w_s, *, n_hi: int):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -55,10 +55,15 @@ def _flush_kernel(pix_ref, died_ref, r0_ref, r1_ref, r2_ref, fb_ref,
 
     pix = pix_ref[:]
     died = died_ref[:] != 0
-    hi = jax.lax.shift_right_logical(pix, 7)
+    # The fb operand may be a WINDOW of the full accumulator starting at
+    # row base (sample-major queue order keeps live pixels in a narrow
+    # monotone band — render/integrator.py sizes the window from the
+    # R*max_depth/spp bound, so in-range is an invariant, not a filter).
+    hi = jax.lax.shift_right_logical(pix, 7) - base_ref[0]
     lo = jax.lax.bitwise_and(pix, 127)
-    # dead lanes route to one-hot row n_hi (out of range -> all-zero column)
-    hi = jnp.where(died, hi, n_hi)
+    # lanes not flushing route to one-hot row n_hi (no row matches)
+    ok = died & (hi >= 0) & (hi < n_hi)
+    hi = jnp.where(ok, hi, n_hi)
 
     rads = (r0_ref[:], r1_ref[:], r2_ref[:])
     # dim-0 iotas are identical for every lane group: build once
@@ -88,17 +93,20 @@ def flush_accumulate(
     pix: jnp.ndarray,  # (R,) int32 framebuffer row of each slot
     died: jnp.ndarray,  # (R,) bool — flush these slots' radiance
     radiance,  # 3-tuple of (R,) f32
-    fb: jnp.ndarray,  # (n_hi, 384) f32 accumulator [hi, c*128+lo]
+    fb: jnp.ndarray,  # (n_hi, 384) f32 accumulator (or a window of it)
     *,
+    base=None,  # () int32 first fb row this window covers (None = 0)
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """fb[p//128, c*128 + p%128] += radiance[c][r] for every died slot r
-    (pixel p = pix[r]); returns the updated (n_hi, 384) accumulator."""
+    """fb[p//128 - base, c*128 + p%128] += radiance[c][r] for every died
+    slot r (pixel p = pix[r]); returns the updated accumulator window."""
     R = pix.shape[0]
     assert R % RAY_BLOCK == 0, R
     rows = R // _LANES
     grid = rows // _SUBLANES
     n_hi = fb.shape[0]
+    if base is None:
+        base = jnp.int32(0)
 
     ray_spec = pl.BlockSpec(
         (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -106,6 +114,7 @@ def flush_accumulate(
     fb_spec = pl.BlockSpec(
         (n_hi, 3 * _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def plane(x):
         return x.reshape(rows, _LANES)
@@ -113,7 +122,7 @@ def flush_accumulate(
     return pl.pallas_call(
         functools.partial(_flush_kernel, n_hi=n_hi),
         grid=(grid,),
-        in_specs=[ray_spec] * 5 + [fb_spec],
+        in_specs=[base_spec] + [ray_spec] * 5 + [fb_spec],
         out_specs=fb_spec,
         out_shape=jax.ShapeDtypeStruct((n_hi, 3 * _LANES), jnp.float32),
         scratch_shapes=[
@@ -125,6 +134,7 @@ def flush_accumulate(
             dimension_semantics=("arbitrary",),
         ),
     )(
+        jnp.reshape(base, (1,)).astype(jnp.int32),
         plane(pix),
         plane(died.astype(jnp.int32)),
         plane(radiance[0]),

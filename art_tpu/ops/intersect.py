@@ -115,6 +115,9 @@ _CLUSTER_ENV = bool(os.environ.get("ART_TPU_CLUSTER"))
 # at 488 spheres.  Kept as validated infrastructure for much larger sphere
 # counts where O(S) VPU work would dominate.
 _MXU_SPHERES = bool(os.environ.get("ART_TPU_MXU_SPHERES"))
+# Grid-box field kernel (pallas_kernels.box_grid_hit_attrs): default-on
+# when the builder detected a lattice (tables.box_grid_kx > 0).
+_NO_GRID_BOXES = bool(os.environ.get("ART_TPU_NO_GRID_BOXES"))
 
 
 def _no_cluster() -> bool:
@@ -440,6 +443,13 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                     tables.box_cl_packed, tables.box_cl_box, o, d,
                     n_clusters=tables.n_box_clusters,
                     rotated=tables.has_rotated_boxes,
+                )
+            elif tables.box_grid_kx and not _NO_GRID_BOXES:
+                t_b, n_b, u_b, v_b, m_b = pk.box_grid_hit_attrs(
+                    tables.box_grid, o, d,
+                    kx=tables.box_grid_kx, kz=tables.box_grid_kz,
+                    x0=tables.box_grid_x0, z0=tables.box_grid_z0,
+                    w=tables.box_grid_w, y0=tables.box_grid_y0,
                 )
             else:
                 t_b, n_b, u_b, v_b, m_b = pk.box_hit_attrs_planar(

@@ -1001,6 +1001,148 @@ def box_hit_attrs_planar(
     )
 
 
+# ---------------------------------------------------------------------------
+# Grid-box field kernel (shared-slab factorization over a regular lattice)
+# ---------------------------------------------------------------------------
+
+
+def _box_grid_kernel(hb_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                     t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, mat_ref,
+                     zsc,
+                     *, kx: int, kz: int, x0: float, z0: float, w: float,
+                     y0: float, t_min: float):
+    """Closest hit over a (kx, kz) regular AABB grid with shared floor.
+
+    Exploits the lattice structure the brute kernel can't see: the x-plane
+    crossings of column ix are ``ex0 + ix * (w/dx)`` (one FMA per column,
+    amortized over kz cells), the kz z-slabs are precomputed once into VMEM
+    scratch, and the shared-floor y plane is computed once — leaving ~20
+    VPU ops per cell vs ~37 for a brute AABB test.  Replaces the
+    reference's per-box BVH traversal for the ground field
+    (src/main.cu:509-514) with structure baked at scene compile.
+
+    hb_ref is (kx, 2*kz): height y1 at [ix, 2*iz], material at
+    [ix, 2*iz+1].  Empty cells have y1 == y0 (zero height: the strict
+    t0 < t1 test can never pass).
+    """
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    ixv = 1.0 / _safe_div_dir(dx)
+    iyv = 1.0 / _safe_div_dir(dy)
+    izv = 1.0 / _safe_div_dir(dz)
+    ex0 = (x0 - ox) * ixv
+    sxv = w * ixv
+    ez0 = (z0 - oz) * izv
+    szv = w * izv
+    ty0p = (y0 - oy) * iyv  # shared floor plane
+
+    for izc in range(kz):
+        ta = ez0 + float(izc) * szv
+        tb = ta + szv
+        zsc[0, izc, :, :] = jnp.minimum(ta, tb)
+        zsc[1, izc, :, :] = jnp.maximum(ta, tb)
+
+    zeros = jnp.zeros(ox.shape, jnp.float32)
+    init = (
+        jnp.full(ox.shape, BIG, jnp.float32),  # t
+        zeros,  # winning cell id (as f32)
+        zeros + jnp.float32(y0),  # winning cell height
+        zeros,  # material id (as f32)
+    )
+
+    def body(ixc, carry):
+        fix = ixc.astype(jnp.float32)
+        ta = ex0 + fix * sxv
+        tb = ta + sxv
+        xlo = jnp.minimum(ta, tb)
+        xhi = jnp.maximum(ta, tb)
+        best_t, bcell, bh, bm = carry
+        for izc in range(kz):
+            h = hb_ref[ixc, 2 * izc]
+            m = hb_ref[ixc, 2 * izc + 1]
+            ty1 = (h - oy) * iyv
+            ylo = jnp.minimum(ty0p, ty1)
+            yhi = jnp.maximum(ty0p, ty1)
+            t0 = jnp.maximum(jnp.maximum(xlo, zsc[0, izc, :, :]), ylo)
+            t1 = jnp.minimum(jnp.minimum(xhi, zsc[1, izc, :, :]), yhi)
+            through = t0 < t1
+            t = jnp.where(
+                through & (t0 > t_min),
+                t0,
+                jnp.where(through & (t1 > t_min), t1, BIG),
+            )
+            better = t < best_t
+            cellf = (ixc * kz + izc).astype(jnp.float32)
+            best_t = jnp.where(better, t, best_t)
+            bcell = jnp.where(better, cellf, bcell)
+            bh = jnp.where(better, h, bh)
+            bm = jnp.where(better, m, bm)
+        return best_t, bcell, bh, bm
+
+    best_t, bcell, bh, bm = jax.lax.fori_loop(0, kx, body, init)
+
+    # Reconstruct the winner AABB arithmetically from its cell id (exact:
+    # the builder verified x0 + k*w reproduces every box bound bit-for-bit).
+    ix_f = jnp.floor(bcell * (1.0 / kz))
+    iz_f = bcell - ix_f * kz
+    mnx = jnp.float32(x0) + ix_f * jnp.float32(w)
+    mnz = jnp.float32(z0) + iz_f * jnp.float32(w)
+    ones = jnp.ones(ox.shape, jnp.float32)
+    _box_write_winner_attrs(
+        ox, oy, oz, dx, dy, dz, best_t,
+        mnx, ones * jnp.float32(y0), mnz,
+        mnx + jnp.float32(w), bh, mnz + jnp.float32(w),
+        ones, zeros, zeros, zeros, zeros, bm,
+        t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, mat_ref,
+        rotated=False,
+    )
+
+
+def box_grid_hit_attrs(
+    box_grid: jnp.ndarray,  # (kx, kz, 2) [y1, mat] (tables.box_grid)
+    o,  # 3-tuple of (R,) planes
+    d,
+    *,
+    kx: int,
+    kz: int,
+    x0: float,
+    z0: float,
+    w: float,
+    y0: float,
+    interpret: bool = False,
+):
+    """Grid-field equivalent of box_hit_attrs_planar (same outputs)."""
+    R = o[0].shape[0]
+    rows, grid, ray_spec = _ray_grid(R)
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    comps = tuple(plane(c) for c in (*o, *d))
+    f32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    t, nx, ny, nz, u, v, mat = pl.pallas_call(
+        functools.partial(
+            _box_grid_kernel, kx=kx, kz=kz, x0=x0, z0=z0, w=w, y0=y0,
+            t_min=1e-3,
+        ),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 6,
+        out_specs=(ray_spec,) * 7,
+        out_shape=(f32, f32, f32, f32, f32, f32, i32),
+        scratch_shapes=[pltpu.VMEM((2, kz, _SUBLANES, _LANES), jnp.float32)],
+        interpret=interpret,
+    )(box_grid.reshape(kx, 2 * kz), *comps)
+    return (
+        t.reshape(R),
+        (nx.reshape(R), ny.reshape(R), nz.reshape(R)),
+        u.reshape(R),
+        v.reshape(R),
+        mat.reshape(R),
+    )
+
+
 BOX_CLUSTER = 64  # boxes per cluster (BVH-leaf-order groups)
 
 

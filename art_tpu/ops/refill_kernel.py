@@ -106,8 +106,8 @@ def _refill_body(scal_ref, cam_ref,
         + (row_off + (lane_inc - dead_f)).astype(jnp.int32)
     )
 
-    s_base = scal_ref[0]
-    p_base = scal_ref[1]
+    p_base = scal_ref[0]
+    s_base = scal_ref[1]
     spp = scal_ref[2]
     P = scal_ref[3]
     pix_offset = scal_ref[4]
@@ -115,22 +115,25 @@ def _refill_body(scal_ref, cam_ref,
     nx = scal_ref[6]
     ny = scal_ref[7]
 
-    # queue id = (s_base, p_base) + rank with rank < R + P < 2^18:
-    # pr = p_base + rank; sample = s_base + pr // P; pixel row = pr % P.
-    pr = p_base + rank
-    prf = pr.astype(jnp.float32)
-    Pf = P.astype(jnp.float32)
-    j = jnp.floor(prf * (1.0 / Pf)).astype(jnp.int32)
-    rem = pr - j * P
+    # queue id = (p_base, s_base) + rank with rank + s_base < R + spp:
+    # SAMPLE-major order — qr = s_base + rank; pixel row advances by
+    # qr // spp and sample = qr % spp.  Consecutive queue ids map to the
+    # SAME pixel (spp in a row), so live pixels always form a narrow
+    # monotone band: the windowed framebuffer flush (ops/flush_kernel.py)
+    # depends on this.  All integer arithmetic stays below 2^18+spp and is
+    # exact in f32 (n_q itself can exceed the f32-exact integer range).
+    qr = s_base + rank
+    qrf = qr.astype(jnp.float32)
+    sppf = spp.astype(jnp.float32)
+    j = jnp.floor(qrf * (1.0 / sppf)).astype(jnp.int32)
+    rem = qr - j * spp
     # one-step correction for the reciprocal rounding
-    over = rem >= P
+    over = rem >= spp
     under = rem < 0
     j = jnp.where(over, j + 1, jnp.where(under, j - 1, j))
-    rem = jnp.where(over, rem - P, jnp.where(under, rem + P, rem))
-    sample = s_base + j
-    take = dead & (sample < spp)
-
-    p_row = rem
+    rem = jnp.where(over, rem - spp, jnp.where(under, rem + spp, rem))
+    p_row = p_base + j
+    take = dead & (p_row < P)
     pixel = jnp.minimum(pix_offset + p_row, total_pixels - 1)
     # pixel < total_pixels <= 2^24: i/j decomposition exact in f32
     pixf = pixel.astype(jnp.float32)

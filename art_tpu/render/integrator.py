@@ -289,6 +289,14 @@ def render_wavefront(
     # planar framebuffer rows for the pallas/matmul one-hot flush; padded to
     # a sublane multiple so the kernel block shape is legal
     n_hi_pallas = -(-(-(-P // 128)) // 8) * 8
+    # Windowed-flush row count: a live ray survives <= max_depth
+    # iterations and the queue head advances <= R per iteration, so live
+    # (hence dying) pixels span <= R*max_depth/spp + 1 under sample-major
+    # order; +8 rows margin for the min-row alignment.
+    n_hi_win = min(
+        n_hi_pallas,
+        (-(-(R * max_depth // max(spp, 1) // 128 + 1) // 8) + 1) * 8,
+    )
 
     ones = jnp.ones((R,), jnp.float32)
     zeros = jnp.zeros((R,), jnp.float32)
@@ -346,8 +354,9 @@ def render_wavefront(
                 bounce=st.bounce, pix=st.pix,
                 act=st.active.astype(jnp.int32),
             )
+            # sample-major decomposition: [p_base, s_base] = divmod(q, spp)
             scal = jnp.stack([
-                st.next_q // P, st.next_q % P,
+                st.next_q // spp, st.next_q % spp,
                 jnp.int32(spp), jnp.int32(P),
                 jnp.asarray(pix_offset, jnp.int32), jnp.int32(total_pixels),
                 jnp.int32(nx), jnp.int32(ny),
@@ -393,7 +402,9 @@ def render_wavefront(
             rank = jnp.cumsum(dead_i) - dead_i  # exclusive prefix among dead
             q = st.next_q + rank
             take = dead & (q < n_q)
-            p_row = q % P
+            # sample-major: spp consecutive queue ids share a pixel, so
+            # live pixels form a monotone band (windowed-flush invariant)
+            p_row = q // spp
             pixel = jnp.minimum(pix_offset + p_row, total_pixels - 1)
             i = (pixel % nx).astype(jnp.float32)
             j = (pixel // nx).astype(jnp.float32)
@@ -445,10 +456,28 @@ def render_wavefront(
         elif _FLUSH == "pallas":
             from art_tpu.ops.flush_kernel import flush_accumulate
 
-            fb = flush_accumulate(
-                pix, died, radiance, st.fb,
-                interpret=jax.default_backend() != "tpu",
-            )
+            interp = jax.default_backend() != "tpu"
+            if n_hi_win < n_hi_pallas:
+                # Windowed flush: the MXU one-hot accumulate costs
+                # n_hi*384*R MACs, but sample-major queue order bounds the
+                # live-pixel band by R*max_depth/spp pixels — flush only
+                # that window of fb rows and splice it back.
+                minpix = jnp.min(jnp.where(died, pix, jnp.int32(1 << 30)))
+                base = jnp.clip(
+                    jax.lax.shift_right_logical(minpix, 7),
+                    0, n_hi_pallas - n_hi_win,
+                )
+                window = jax.lax.dynamic_slice(
+                    st.fb, (base, 0), (n_hi_win, 384)
+                )
+                slab = flush_accumulate(
+                    pix, died, radiance, window, base=base, interpret=interp
+                )
+                fb = jax.lax.dynamic_update_slice(st.fb, slab, (base, 0))
+            else:
+                fb = flush_accumulate(
+                    pix, died, radiance, st.fb, interpret=interp
+                )
         elif _FLUSH == "matmul":
             # MXU flush: fb[hi, c*128+lo] += sum_r onehot_hi[r] * W[r]
             # with W = onehot_lo * radiance — replaces the colliding

@@ -100,6 +100,61 @@ class SceneBuilder:
         )
 
 
+def _detect_box_grid(tables: SceneTables) -> SceneTables:
+    """Detect a regular-grid box field and attach its (Kx, Kz, 2) table.
+
+    Fires when EVERY box in the scene is an unrotated AABB whose footprint
+    sits on one arithmetic (x, z) lattice with a shared cell size and a
+    shared floor y0, at most one box per cell — the reference's 20x20
+    ground-box field (src/main.cu:509-514).  The grid kernel
+    (ops/pallas_kernels.box_grid_hit_attrs) then computes per-column /
+    per-row slab crossings incrementally instead of 6 fresh plane tests
+    per box, cutting the per-box cost ~2x.  Empty cells get y1 = y0
+    (zero-height => strict t0 < t1 never passes)."""
+    B = tables.n_boxes
+    if B < 64 or tables.has_rotated_boxes:
+        return tables
+    mn = np.asarray(tables.box_min) + np.asarray(tables.box_off)
+    mx = np.asarray(tables.box_max) + np.asarray(tables.box_off)
+    y0 = mn[0, 1]
+    if not np.all(mn[:, 1] == y0):
+        return tables
+    wx = mx[:, 0] - mn[:, 0]
+    wz = mx[:, 2] - mn[:, 2]
+    w = wx[0]
+    if w <= 0 or not (np.all(wx == w) and np.all(wz == w)):
+        return tables
+    gx0, gz0 = mn[:, 0].min(), mn[:, 2].min()
+    fx = (mn[:, 0] - gx0) / w
+    fz = (mn[:, 2] - gz0) / w
+    kxs, kzs = np.rint(fx).astype(np.int64), np.rint(fz).astype(np.int64)
+    # exact lattice fit in f32 (scene coordinates are compile-time exact)
+    if not (
+        np.all(gx0 + kxs * w == mn[:, 0]) and np.all(gz0 + kzs * w == mn[:, 2])
+    ):
+        return tables
+    kx, kz = int(kxs.max()) + 1, int(kzs.max()) + 1
+    if kx * kz > 4 * B:  # too sparse: padded cells would dominate
+        return tables
+    cell = kxs * kz + kzs
+    if len(np.unique(cell)) != B:  # more than one box in a cell
+        return tables
+    grid = np.zeros((kx, kz, 2), np.float32)
+    grid[:, :, 0] = y0  # empty cells: zero height, inert
+    grid[kxs, kzs, 0] = mx[:, 1]
+    grid[kxs, kzs, 1] = np.asarray(tables.box_mat, np.float32)
+    return dataclasses.replace(
+        tables,
+        box_grid=jnp.asarray(grid),
+        box_grid_kx=kx,
+        box_grid_kz=kz,
+        box_grid_x0=float(gx0),
+        box_grid_z0=float(gz0),
+        box_grid_w=float(w),
+        box_grid_y0=float(y0),
+    )
+
+
 class _Compiler:
     def __init__(self):
         self.spheres: list[tuple] = []  # (c0, vel, radius, mat_id)
@@ -521,6 +576,7 @@ class _Compiler:
                     tables, sph_mxu_feat=F, sph_mxu_attr=attrT,
                     mxu_sphere_pad=s_pad,
                 )
+        tables = _detect_box_grid(tables)
         # Cluster-culling copies (only worthwhile past a handful of
         # primitives; below that the brute kernels win).
         if tables.n_spheres >= 32:

@@ -142,6 +142,8 @@ class SceneTables:
     # MXU-formulation sphere tables (ops/pallas_kernels.sphere_mxu_features)
     sph_mxu_feat: jnp.ndarray  # (2*S_pad, 16) bilinear quadratic features
     sph_mxu_attr: jnp.ndarray  # (8, S_pad) transposed packed table
+    # Grid-box height/material table (Kx, Kz, 2) [y1, mat] — detect_box_grid
+    box_grid: jnp.ndarray
 
     # ---- static metadata (specializes the compiled trace per scene) ----
     n_spheres: int = _static()
@@ -162,6 +164,16 @@ class SceneTables:
     # moving-block size and real static count for the split kernel loops.
     sph_n_moving_pad: int = _static()
     sph_n_static: int = _static()
+    # Regular-grid box field (builder.detect_box_grid): when every box in
+    # the scene is an unrotated AABB on one (Kx, Kz) footprint grid with a
+    # shared floor, the shared-slab grid kernel replaces the brute scan.
+    # box_grid_kx == 0 disables.  (x0, z0, w, y0) are compile-time floats.
+    box_grid_kx: int = _static()
+    box_grid_kz: int = _static()
+    box_grid_x0: float = _static()
+    box_grid_z0: float = _static()
+    box_grid_w: float = _static()
+    box_grid_y0: float = _static()
 
 
 def _z(shape, dtype=jnp.float32):
@@ -226,6 +238,7 @@ def empty_tables() -> dict:
         quad_attr_packed=_z((1, 16)),
         sph_mxu_feat=_z((2, 16)),
         sph_mxu_attr=_z((8, 1)),
+        box_grid=_z((1, 1, 2)),
         n_spheres=0,
         n_quads=0,
         n_boxes=0,
@@ -239,4 +252,10 @@ def empty_tables() -> dict:
         mxu_sphere_pad=0,
         sph_n_moving_pad=0,
         sph_n_static=0,
+        box_grid_kx=0,
+        box_grid_kz=0,
+        box_grid_x0=0.0,
+        box_grid_z0=0.0,
+        box_grid_w=1.0,
+        box_grid_y0=0.0,
     )

@@ -34,18 +34,31 @@ def asset_path(name: str) -> str:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ImageAtlas:
-    """Padded stack of images + per-image dims, sampled nearest-neighbor."""
+    """Padded stack of images + per-image dims, sampled nearest-neighbor.
 
-    data: jnp.ndarray  # (n, Hmax, Wmax, 3) float32 in [0,1]
+    Texels are stored as ONE packed uint32 (R | G<<8 | B<<16) in a flat
+    array and unpacked arithmetically after the fetch: a per-ray texture
+    lookup is then a single-element 1-D gather instead of a 3-float slice
+    from a 4-D array — the XLA TPU gather cost scales with gathered
+    elements, and this fetch was 30% of a final_scene iteration as the
+    float (n,H,W,3) form (docs/PERF_NOTES.md).  Unpack reproduces
+    ``texel/255.0`` exactly (reference color_scale, src/texture.cuh:56-59).
+    """
+
+    data: jnp.ndarray  # (n*Hmax*Wmax,) uint32 packed RGB8
     heights: jnp.ndarray  # (n,) int32
     widths: jnp.ndarray  # (n,) int32
+    hmax: int = dataclasses.field(metadata=dict(static=True), default=1)
+    wmax: int = dataclasses.field(metadata=dict(static=True), default=1)
 
     @staticmethod
     def empty() -> "ImageAtlas":
         return ImageAtlas(
-            data=jnp.zeros((1, 1, 1, 3), jnp.float32),
+            data=jnp.zeros((1,), jnp.uint32),
             heights=jnp.ones((1,), jnp.int32),
             widths=jnp.ones((1,), jnp.int32),
+            hmax=1,
+            wmax=1,
         )
 
     @staticmethod
@@ -54,26 +67,36 @@ class ImageAtlas:
             return ImageAtlas.empty()
         hmax = max(im.shape[0] for im in images)
         wmax = max(im.shape[1] for im in images)
-        data = np.zeros((len(images), hmax, wmax, 3), np.float32)
+        data = np.zeros((len(images), hmax, wmax), np.uint32)
         hs, ws = [], []
         for i, im in enumerate(images):
             h, w = im.shape[:2]
-            data[i, :h, :w] = im.astype(np.float32) / 255.0
+            px = im.astype(np.uint32)
+            data[i, :h, :w] = px[:, :, 0] | (px[:, :, 1] << 8) | (px[:, :, 2] << 16)
             hs.append(h)
             ws.append(w)
         return ImageAtlas(
-            data=jnp.asarray(data),
+            data=jnp.asarray(data.reshape(-1)),
             heights=jnp.asarray(hs, jnp.int32),
             widths=jnp.asarray(ws, jnp.int32),
+            hmax=hmax,
+            wmax=wmax,
         )
 
     def sample(self, img_id: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
         """Nearest-texel sample with clamp + v-flip (reference src/texture.cuh:51-59)."""
-        img_id = jnp.clip(img_id, 0, self.data.shape[0] - 1)
+        n = self.heights.shape[0]
+        img_id = jnp.clip(img_id, 0, n - 1)
         w = self.widths[img_id]
         h = self.heights[img_id]
         uu = jnp.clip(u, 0.0, 1.0)
         vv = jnp.clip(v, 0.0, 1.0)
         i = jnp.minimum((uu * w.astype(jnp.float32)).astype(jnp.int32), w - 1)
         j = jnp.minimum(((1.0 - vv) * h.astype(jnp.float32)).astype(jnp.int32), h - 1)
-        return self.data[img_id, j, i]
+        flat = (img_id * self.hmax + j) * self.wmax + i
+        px = self.data[flat]
+        scale = jnp.float32(1.0 / 255.0)
+        r = (px & 0xFF).astype(jnp.float32) * scale
+        g = ((px >> 8) & 0xFF).astype(jnp.float32) * scale
+        b = ((px >> 16) & 0xFF).astype(jnp.float32) * scale
+        return jnp.stack([r, g, b], axis=-1)

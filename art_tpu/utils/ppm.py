@@ -10,9 +10,45 @@ SURVEY.md §7).
 
 from __future__ import annotations
 
+import ctypes
 import io
+import os
+import subprocess
 
 import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), "native"
+)
+_native_lib = None
+_native_tried = False
+
+
+def _load_native():
+    """Build (once, cached as a .so next to the source) and load the C++
+    formatter; any failure falls back to the Python writer silently."""
+    global _native_lib, _native_tried
+    if _native_tried:
+        return _native_lib
+    _native_tried = True
+    src = os.path.join(_NATIVE_DIR, "ppm_writer.cpp")
+    so = os.path.join(_NATIVE_DIR, "libppm.so")
+    try:
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", so, src],
+                check=True, capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(so)
+        lib.ppm_format_body.restype = ctypes.c_size_t
+        lib.ppm_format_body.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p,
+        ]
+        _native_lib = lib
+    except Exception:  # noqa: BLE001 — native path is best-effort
+        _native_lib = None
+    return _native_lib
 
 
 def format_ppm(fb: np.ndarray, clamp: bool = False) -> str:
@@ -21,6 +57,8 @@ def format_ppm(fb: np.ndarray, clamp: bool = False) -> str:
     Row 0 of ``fb`` is the *bottom* of the image (the reference framebuffer
     is indexed pixel = j*nx + i with j growing upward); rows are emitted
     top-down exactly like the reference writer loop (src/main.cu:717-727).
+    Uses the native formatter (native/ppm_writer.cpp) when it builds;
+    otherwise a pure-Python writer with identical output.
     """
     fb = np.asarray(fb, np.float64)
     ny, nx, _ = fb.shape
@@ -28,9 +66,22 @@ def format_ppm(fb: np.ndarray, clamp: bool = False) -> str:
     if clamp:
         vals = np.clip(vals, 0.0, 255.0)
     # int() in C++ truncates toward zero.
-    ints = np.trunc(vals).astype(np.int64)
+    ints = np.ascontiguousarray(np.trunc(vals).astype(np.int64))
+    header = f"P3\n{nx} {ny}\n255\n"
+
+    lib = _load_native()
+    if lib is not None:
+        # exact worst-case sizing from the widest value actually present
+        digits = len(str(int(np.abs(ints).max()))) + 1 if ints.size else 2
+        buf = ctypes.create_string_buffer(3 * (digits + 1) * ny * nx + 64)
+        n = lib.ppm_format_body(
+            ints.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(ny), ctypes.c_int64(nx), buf,
+        )
+        return header + buf.raw[:n].decode("ascii")
+
     out = io.StringIO()
-    out.write(f"P3\n{nx} {ny}\n255\n")
+    out.write(header)
     # top-down: j = ny-1 .. 0
     for j in range(ny - 1, -1, -1):
         row = ints[j]

@@ -212,7 +212,8 @@ def call_cluster(op, dp, tm):
 def call_brute(op, dp, tm):
     t, n, u, v, m = pk.sphere_hit_attrs_planar(
         tables.sph_packed, op, dp, tm,
-        n_spheres=S, moving=True, needs_uv=False,
+        n_moving=tables.sph_n_moving_pad, n_static=tables.sph_n_static,
+        needs_uv=False,
     )
     return t, n, m
 

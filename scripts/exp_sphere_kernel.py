@@ -54,7 +54,8 @@ def timeit(name, fn):
 def v0(tm):
     t, n, u, v, m = pk.sphere_hit_attrs_planar(
         tables.sph_packed, op, dp, tm,
-        n_spheres=S, moving=True, needs_uv=False,
+        n_moving=tables.sph_n_moving_pad, n_static=tables.sph_n_static,
+        needs_uv=False,
     )
     return t + n[0] + m.astype(jnp.float32)
 

@@ -21,6 +21,12 @@ import time
 import numpy as np
 from PIL import Image
 
+import jax
+
+if os.environ.get("ART_TPU_CPU"):
+    # run the comparison on host CPU (jnp reference path)
+    jax.config.update("jax_platforms", "cpu")
+
 from art_tpu.models import build_scene
 from art_tpu.render.renderer import RenderConfig, render_scene
 

@@ -193,6 +193,47 @@ def test_box_kernel_matches_jnp_axis_aligned():
     )
 
 
+def test_box_grid_kernel_matches_brute():
+    """The shared-slab grid kernel must agree with the brute box kernel on
+    the final_scene ground field (the builder must detect the 20x20 grid),
+    including full winner attributes."""
+    tables = build_scene("final_scene", 64, 64).tables
+    assert tables.box_grid_kx == 20 and tables.box_grid_kz == 20
+    o, d, tm = _ray_batch(6, RB, origin_span=2200.0, origin_center=(0, 200, 0))
+
+    t_g, n_g, u_g, v_g, m_g = pk.box_grid_hit_attrs(
+        tables.box_grid, o, d,
+        kx=tables.box_grid_kx, kz=tables.box_grid_kz,
+        x0=tables.box_grid_x0, z0=tables.box_grid_z0,
+        w=tables.box_grid_w, y0=tables.box_grid_y0, interpret=True,
+    )
+    t_b, n_b, u_b, v_b, m_b = pk.box_hit_attrs_planar(
+        tables.box_packed, o, d,
+        n_boxes=tables.n_boxes, rotated=False, interpret=True,
+    )
+    hit = _hit_mask(t_b)
+    assert hit.any() and (~hit).any()
+    np.testing.assert_array_equal(_hit_mask(t_g), hit)
+    np.testing.assert_allclose(
+        np.asarray(t_g)[hit], np.asarray(t_b)[hit], rtol=2e-5, atol=1e-3
+    )
+    np.testing.assert_array_equal(np.asarray(m_g)[hit], np.asarray(m_b)[hit])
+    # Adjacent grid cells share planes EXACTLY, so a ray grazing a shared
+    # edge ties in t and the two kernels may pick different (equally valid)
+    # winner cells with different UVs; face id can likewise flip on a box's
+    # own edges.  t/mat/hit-mask above are strict; require full attribute
+    # agreement on >= 99% of hits (ties are a measure-zero-ish edge set).
+    agree = np.ones(int(hit.sum()), bool)
+    for c in range(3):
+        agree &= np.isclose(
+            np.asarray(n_g[c])[hit], np.asarray(n_b[c])[hit],
+            rtol=1e-4, atol=2e-4,
+        )
+    agree &= np.isclose(np.asarray(u_g)[hit], np.asarray(u_b)[hit], atol=1e-3)
+    agree &= np.isclose(np.asarray(v_g)[hit], np.asarray(v_b)[hit], atol=1e-3)
+    assert agree.mean() > 0.99, agree.mean()
+
+
 def test_sphere_cluster_kernel_matches_brute():
     """Block-synchronous cluster culling must be exactly equal to the
     brute-force kernel (the slab test is conservative)."""
@@ -294,6 +335,33 @@ def test_flush_kernel_matches_scatter():
         np.asarray(out).reshape(n_hi, 3, 128).transpose(1, 0, 2).reshape(3, P)
     )
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_flush_kernel_windowed_matches_full():
+    """The windowed flush (fb slice + base offset) must equal slicing the
+    full-fb flush result, given died pixels confined to the window band."""
+    from art_tpu.ops.flush_kernel import flush_accumulate
+
+    R = RB
+    n_hi = 32
+    W_h = 8
+    base_row = 13
+    P0, P1 = base_row * 128, (base_row + W_h) * 128
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(11), 3)
+    pix = jax.random.randint(k0, (R,), P0, P1, jnp.int32)  # in-band only
+    died = jax.random.uniform(k1, (R,)) < 0.4
+    rad = jax.random.uniform(k2, (R, 3), jnp.float32)
+    rads = (rad[:, 0], rad[:, 1], rad[:, 2])
+    fb = jax.random.uniform(jax.random.PRNGKey(12), (n_hi, 384), jnp.float32)
+
+    full = flush_accumulate(pix, died, rads, fb, interpret=True)
+    slab = flush_accumulate(
+        pix, died, rads,
+        jax.lax.dynamic_slice(fb, (base_row, 0), (W_h, 384)),
+        base=jnp.int32(base_row), interpret=True,
+    )
+    got = jax.lax.dynamic_update_slice(fb, slab, (base_row, 0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full), rtol=1e-6)
 
 
 def test_sphere_mxu_kernel_matches_jnp():

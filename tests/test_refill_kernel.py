@@ -20,7 +20,7 @@ def _jnp_refill(planes, uniforms, cam, next_q, spp, P, pix_offset,
     rank = jnp.cumsum(dead_i) - dead_i
     q = next_q + rank
     take = dead & (q < n_q)
-    p_row = q % P
+    p_row = q // spp  # sample-major (windowed-flush invariant)
     pixel = jnp.minimum(pix_offset + p_row, total_pixels - 1)
     i = (pixel % nx).astype(jnp.float32)
     j = (pixel // nx).astype(jnp.float32)
@@ -70,7 +70,7 @@ def _run_case(seed, frac_active, next_q, spp=7, P=1000, pix_offset=64000,
     )
     planes, uniforms = _random_state(seed, frac_active)
     scal = jnp.asarray(
-        [next_q // P, next_q % P, spp, P, pix_offset, total_pixels, nx, ny],
+        [next_q // spp, next_q % spp, spp, P, pix_offset, total_pixels, nx, ny],
         jnp.int32,
     )
     got, got_count = fused_refill(
