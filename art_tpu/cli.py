@@ -9,6 +9,15 @@ behaves like the reference binary.
 
 from __future__ import annotations
 
+import os
+
+# Persistent compile cache: remote TPU compiles are minutes-long and the
+# serialized executables reload across processes (docs/PERF_NOTES.md).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
 import argparse
 import sys
 

@@ -17,6 +17,15 @@ ray throughput plus the extrapolated full-frame time.
 
 from __future__ import annotations
 
+import os
+
+# Persistent compile cache: remote TPU compiles are minutes-long and the
+# serialized executables reload across processes (docs/PERF_NOTES.md).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 import json
 import sys
 import time
@@ -26,10 +35,14 @@ SPP_CHUNK = 500  # one compiled program; deep queue keeps pool occupancy high
 TARGET_MRAYS = 100.0
 TIME_BUDGET_S = 150.0
 
-# secondary scenes: (nx, ny, spp per measured chunk, time budget)
+# secondary scenes: (nx, ny, spp per measured chunk, time budget).
+# Chunk spp >= 400 matters: the windowed framebuffer flush and pool
+# occupancy both improve with queue depth, and the official configs for
+# these scenes run 1000-10000 spp — shallow chunks understate production
+# throughput (spp=100 chunks measured ~25% low on final_scene).
 SWEEP = [
-    ("cornell_smoke", 600, 600, 200, 60.0),
-    ("final_scene", 800, 800, 100, 90.0),
+    ("cornell_smoke", 600, 600, 400, 60.0),
+    ("final_scene", 800, 800, 500, 90.0),
 ]
 
 

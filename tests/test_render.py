@@ -147,3 +147,32 @@ def test_matmul_flush_matches_scatter_flush(monkeypatch):
     # identical sampling; only the flush arithmetic differs (one bf16
     # rounding per died sample before an exact f32 accumulation)
     np.testing.assert_allclose(got, ref, rtol=6e-3, atol=2e-3)
+
+
+def test_windowed_pallas_flush_matches_scatter_flush(monkeypatch):
+    """End-to-end wavefront render through the WINDOWED Pallas flush
+    (interpret mode) vs the scatter flush: validates the live-pixel band
+    invariant (an out-of-window died ray would silently drop radiance and
+    show up as a dimmer image here)."""
+    import numpy as np
+
+    from art_tpu.models import build_scene
+    from art_tpu.render import integrator, renderer
+    from art_tpu.render.renderer import RenderConfig, render_scene
+
+    # P=11520 px -> n_hi 96 > window rows R*max_depth/(spp*128) = 16:
+    # the windowed path (n_hi_win < n_hi_pallas) is genuinely exercised.
+    scene = build_scene("three_spheres", 128, 90)
+    cfg = RenderConfig(
+        nx=128, ny=90, spp=32, max_depth=8,
+        max_slots=8192, batch_budget=1 << 30,
+    )
+
+    monkeypatch.setattr(integrator, "_FLUSH_ENV", "aos")
+    ref, _ = render_scene(scene, cfg)
+    renderer._wavefront_jit.clear_cache()
+    monkeypatch.setattr(integrator, "_FLUSH_ENV", "pallas")
+    got, _ = render_scene(scene, cfg)
+    np.testing.assert_allclose(got, ref, rtol=6e-3, atol=2e-3)
+    # means must match to well under 1%: dropped rays would bias this
+    assert abs(got.mean() - ref.mean()) < 2e-4, (got.mean(), ref.mean())
