@@ -26,6 +26,14 @@ pixel ``p = hi*128 + lo`` channel c at ``[hi, c*128+lo]``.
 bf16 note: operands are cast to bf16 exactly like the XLA flush; each died
 sample is rounded once (~0.4% relative, far below Monte-Carlo noise) and
 accumulated in exact f32.  CI gates matmul-vs-scatter image equality.
+
+**Windowed mode** (the production path): the MXU work is n_hi*384*R MACs —
+structural in the framebuffer row count.  Under sample-major queue order
+(spp consecutive queue ids share a pixel, ops/refill_kernel.py) the live
+pixel set is a monotone band bounded by R*max_depth/spp pixels, so the
+integrator passes only a dynamic fb WINDOW plus its base row; rows shrink
+512 -> 112 at spp=500 (flush 0.41 -> 0.10 ms/iter).  Hardware A/B: window
+vs full-fb results identical to 12 digits (docs/PERF_NOTES.md).
 """
 
 from __future__ import annotations

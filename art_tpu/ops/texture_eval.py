@@ -33,6 +33,23 @@ _TURB_MAX = 7  # noise_texture uses turb(p, 7) (src/texture.cuh:69)
 # keeps the (img_id, u, v) dependencies alive; fake_turb likewise for the
 # 7-octave perlin turbulence.
 _DBG = __import__("os").environ.get("ART_TPU_DBG", "")
+_NO_TURB_KERNEL = bool(__import__("os").environ.get("ART_TPU_NO_TURB_KERNEL"))
+
+
+def _turb(px, py, pz, depth: int, depth_mask=None):
+    """Fused Pallas turbulence on TPU-aligned batches; jnp elsewhere."""
+    import jax
+
+    if (
+        not _NO_TURB_KERNEL
+        and jax.default_backend() == "tpu"
+        and px.ndim == 1
+        and px.shape[0] % 8192 == 0
+    ):
+        from art_tpu.ops.perlin_kernel import turb_pallas
+
+        return turb_pallas(px, py, pz, depth, depth_mask)
+    return perlin.turb_p(px, py, pz, depth, depth_mask=depth_mask)
 
 
 def _smoothstep(edge0, edge1, x):
@@ -114,7 +131,7 @@ def eval_texture_p(
             if "fake_turb" in _DBG:  # perf-debug: dependency-preserving stub
                 tb = 0.1 * (px + py + pz)
             else:
-                tb = perlin.turb_p(px, py, pz, _TURB_MAX)
+                tb = _turb(px, py, pz, _TURB_MAX)
             t = 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * tb))
             out = p_where(ttype == TexType.NOISE, (t, t, t), out)
 
@@ -123,7 +140,7 @@ def eval_texture_p(
             k, amp, f = row[:, 1], row[:, 2], row[:, 3]
             oct = row[:, 4].astype(jnp.int32)
             un = px * row[:, 5] + py * row[:, 6] + pz * row[:, 7]
-            wig = perlin.turb_p(px * f, py * f, pz * f, _TURB_MAX, depth_mask=oct)
+            wig = _turb(px * f, py * f, pz * f, _TURB_MAX, depth_mask=oct)
             stripes = jnp.abs(jnp.sin(k * un + amp * wig))
             t = _smoothstep(0.75, 0.98, stripes)
             col = (
@@ -139,7 +156,7 @@ def eval_texture_p(
             m_scale, m_amt = row[:, 1], row[:, 2]
             f_scale, f_amt = row[:, 3], row[:, 4]
             m = perlin.noise_p(px * m_scale, py * m_scale, pz * m_scale)
-            phase = px * f_scale + 2.0 * perlin.turb_p(px * 0.5, py * 0.5, pz * 0.5, 2)
+            phase = px * f_scale + 2.0 * _turb(px * 0.5, py * 0.5, pz * 0.5, 2)
             fibers = 0.5 * (1.0 + jnp.sin(phase))
             gain = 1.0 + m_amt * (m - 0.5) + f_amt * (fibers - 0.5)
             gain = jnp.clip(gain, 0.7, 1.2)

@@ -337,6 +337,31 @@ def test_flush_kernel_matches_scatter():
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
 
 
+def test_turb_kernel_matches_jnp():
+    """ops/perlin_kernel.turb_pallas must reproduce perlin.turb_p exactly
+    (identical uint32 hash chain and f32 arithmetic), with and without a
+    per-lane octave mask."""
+    from art_tpu.ops import perlin
+    from art_tpu.ops.perlin_kernel import turb_pallas
+
+    R = RB
+    ks = jax.random.split(jax.random.PRNGKey(21), 4)
+    px = jax.random.uniform(ks[0], (R,), jnp.float32) * 600.0 - 100.0
+    py = jax.random.uniform(ks[1], (R,), jnp.float32) * 400.0
+    pz = jax.random.uniform(ks[2], (R,), jnp.float32) * 500.0 - 200.0
+
+    got = turb_pallas(px, py, pz, 7, interpret=True)
+    want = perlin.turb_p(px, py, pz, 7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+    oct = jax.random.randint(ks[3], (R,), 1, 8, jnp.int32)
+    got_m = turb_pallas(px, py, pz, 7, depth_mask=oct, interpret=True)
+    want_m = perlin.turb_p(px, py, pz, 7, depth_mask=oct)
+    np.testing.assert_allclose(
+        np.asarray(got_m), np.asarray(want_m), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_flush_kernel_windowed_matches_full():
     """The windowed flush (fb slice + base offset) must equal slicing the
     full-fb flush result, given died pixels confined to the window band."""
