@@ -60,6 +60,13 @@ def plan_batches(n_pixels: int, spp: int, n_prims_max: int, cfg: RenderConfig):
         n_prims_max = max(n_prims_max, 1)
         n_slots = max(1024, min(cfg.max_slots, cfg.batch_budget // n_prims_max))
     tile_pixels = min(n_pixels, cfg.max_tile_pixels)
+    # Balance tiles: ceil-dividing 360000 px into 65536-px tiles would pad
+    # the last tile with 8.5% clamped (wasted) pixels; distributing the
+    # remainder across all tiles instead keeps every tile full of real
+    # work (128-aligned for tidy framebuffer rows).
+    n_tiles = -(-n_pixels // tile_pixels)
+    even = (n_pixels + n_tiles - 1) // n_tiles
+    tile_pixels = min(tile_pixels, (even + 127) // 128 * 128)
     spp_chunk = min(spp, max(1, cfg.queue_budget // tile_pixels))
     # Never make the pool larger than the queue: padded queue elements are
     # wasted oversampling work (they are normalized out, but cost time).

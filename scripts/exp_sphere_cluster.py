@@ -48,9 +48,11 @@ def cluster_spheres(tables):
     order = tree.prim[tree.prim >= 0]  # preorder leaf sequence
     assert len(order) == S
 
-    packed = np.asarray(tables.sph_packed)[order]  # (S,8) reordered
+    from art_tpu.ops.pallas_kernels import _sphere_rows
+
+    packed = _sphere_rows(tables)[order]  # (S,9) reordered, scene order
     S_pad = -(-S // CLUSTER) * CLUSTER
-    pad = np.zeros((S_pad - S, 8), np.float32)
+    pad = np.zeros((S_pad - S, 9), np.float32)
     packed = np.concatenate([packed, pad], axis=0)
 
     n_cl = S_pad // CLUSTER
