@@ -29,6 +29,10 @@ from art_tpu.core.vecmath import BIG
 _LANES = 128
 _SUBLANES = 64  # ray-block rows: 64x128 = 8192 rays per program
 RAY_BLOCK = _SUBLANES * _LANES
+# Sphere-loop unroll factor (pack_spheres pads segments to 32 so both 16
+# and 32 are legal).  32 measured +5% over 16 on bouncing_spheres
+# (114.1 vs 108.3 Mrays/s, docs/PERF_NOTES.md).
+_SPH_UNROLL = int(__import__("os").environ.get("ART_TPU_SPH_UNROLL", "32"))
 
 
 def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -112,8 +116,8 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
     # unrolled to amortize the fori_loop backedge overhead (~1.2 us per
     # iteration measured on v5e — scripts/exp_unroll.py); both table
-    # segments are padded to a multiple of UNROLL by pack_spheres
-    UNROLL = 16
+    # segments are padded to a multiple of 32 by pack_spheres
+    UNROLL = _SPH_UNROLL
 
     def body_moving(i, carry):
         s = i * UNROLL
@@ -651,8 +655,8 @@ def pack_spheres(tables) -> tuple[jnp.ndarray, int, int]:
     rows = _sphere_rows(tables)
     is_moving = np.any(rows[:, 3:6] != 0.0, axis=1)
     mov, stat = rows[is_moving], rows[~is_moving]
-    sm_pad = -(-len(mov) // 16) * 16 if len(mov) else 0
-    ss_pad = -(-len(stat) // 16) * 16
+    sm_pad = -(-len(mov) // 32) * 32 if len(mov) else 0
+    ss_pad = -(-len(stat) // 32) * 32
     out = np.zeros((sm_pad + ss_pad, 9), np.float32)
     out[:, 8] = -1.0
     out[: len(mov)] = mov
