@@ -59,7 +59,10 @@ def plan_batches(n_pixels: int, spp: int, n_prims_max: int, cfg: RenderConfig):
     else:
         n_prims_max = max(n_prims_max, 1)
         n_slots = max(1024, min(cfg.max_slots, cfg.batch_budget // n_prims_max))
-    tile_pixels = min(n_pixels, cfg.max_tile_pixels)
+    # experiment overrides (see docs/PERF_NOTES.md tile-size measurements)
+    max_tile = int(os.environ.get("ART_TPU_TILE", 0)) or cfg.max_tile_pixels
+    queue_budget = int(os.environ.get("ART_TPU_QUEUE", 0)) or cfg.queue_budget
+    tile_pixels = min(n_pixels, max_tile)
     # Balance tiles: ceil-dividing 360000 px into 65536-px tiles would pad
     # the last tile with 8.5% clamped (wasted) pixels; distributing the
     # remainder across all tiles instead keeps every tile full of real
@@ -67,7 +70,7 @@ def plan_batches(n_pixels: int, spp: int, n_prims_max: int, cfg: RenderConfig):
     n_tiles = -(-n_pixels // tile_pixels)
     even = (n_pixels + n_tiles - 1) // n_tiles
     tile_pixels = min(tile_pixels, (even + 127) // 128 * 128)
-    spp_chunk = min(spp, max(1, cfg.queue_budget // tile_pixels))
+    spp_chunk = min(spp, max(1, queue_budget // tile_pixels))
     # Never make the pool larger than the queue: padded queue elements are
     # wasted oversampling work (they are normalized out, but cost time).
     n_q = tile_pixels * spp_chunk

@@ -6,6 +6,12 @@ docs/renders/full/.
 
 Uses the persistent compile cache; every render records wall-clock and
 Mrays/s into docs/renders/full/timings.json (merged across runs).
+
+The timed render is preceded by a warm-up render of one sample chunk with
+identical static shapes (tile_pixels, spp_chunk, n_slots), so trace +
+compile-cache-load time is excluded: round-2 timings measured without the
+warm-up understated the 500-spp scenes ~3x (quads 76.6 vs 258 Mrays/s
+steady-state).  Pass --cold to reproduce the old behavior.
 """
 
 import json
@@ -28,7 +34,8 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def main():
-    names = sys.argv[1:]
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cold = "--cold" in sys.argv
     os.makedirs(OUT, exist_ok=True)
     tpath = os.path.join(OUT, "timings.json")
     timings = {}
@@ -39,7 +46,21 @@ def main():
         nx, ny, spp = cfg_d["nx"], cfg_d["ny"], cfg_d["spp"]
         print(f"[{name}] official {nx}x{ny} spp={spp}", flush=True)
         scene = build_scene(name, nx, ny)
-        fb, stats = render_scene(scene, RenderConfig(nx=nx, ny=ny, spp=spp), verbose=True)
+        cfg = RenderConfig(nx=nx, ny=ny, spp=spp)
+        if not cold:
+            # one-chunk warm-up with the same static shapes compiles the
+            # exact program the timed render dispatches
+            from art_tpu.render.renderer import plan_batches
+
+            _, spp_chunk, _ = plan_batches(
+                nx * ny,
+                spp,
+                max(scene.tables.n_spheres, scene.tables.n_quads,
+                    scene.tables.n_boxes, 1),
+                cfg,
+            )
+            render_scene(scene, RenderConfig(nx=nx, ny=ny, spp=spp_chunk))
+        fb, stats = render_scene(scene, cfg, verbose=True)
         img = np.clip(fb[::-1], 0.0, 1.0)
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(OUT, f"{name}_official.png")
