@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 _SUBLANES = 64
 RAY_BLOCK = _SUBLANES * _LANES
+_GROUP = 16  # sublane rows per flush dot (see ops/flush_kernel.py)
 
 
 def _refill_kernel(scal_ref, cam_ref,
@@ -63,7 +64,7 @@ def _refill_body(scal_ref, cam_ref,
                  oxo, oyo, ozo, dxo, dyo, dzo, tmo,
                  t0o, t1o, t2o, r0o, r1o, r2o,
                  bounceo, pixo, acto, tko,
-                 carry_smem):
+                 carry_smem, zero_dead_radiance=False):
     """One grid step = one (SUBLANES, LANES) slot block.
 
     scal_ref (SMEM i32): [s_base, p_base, spp, P, pix_offset, total_pixels,
@@ -179,9 +180,13 @@ def _refill_body(scal_ref, cam_ref,
     t0o[:] = jnp.where(take, ones, t0_ref[:])
     t1o[:] = jnp.where(take, ones, t1_ref[:])
     t2o[:] = jnp.where(take, ones, t2_ref[:])
-    r0o[:] = jnp.where(take, zeros, r0_ref[:])
-    r1o[:] = jnp.where(take, zeros, r1_ref[:])
-    r2o[:] = jnp.where(take, zeros, r2_ref[:])
+    # Seam-merged flush mode: every dead slot's radiance was flushed to the
+    # framebuffer just above, so zero it for ALL dead slots (not only taken
+    # ones) — a dead slot kept past queue exhaustion must not be re-added.
+    rz = dead if zero_dead_radiance else take
+    r0o[:] = jnp.where(rz, zeros, r0_ref[:])
+    r1o[:] = jnp.where(rz, zeros, r1_ref[:])
+    r2o[:] = jnp.where(rz, zeros, r2_ref[:])
     bounceo[:] = jnp.where(take, 0, bounce_ref[:])
     pixo[:] = jnp.where(take, p_row, pix_ref[:])
     acto[:] = ((act != 0) | take).astype(jnp.int32)
@@ -351,6 +356,275 @@ def fused_refill(
         new[name] = outs[k].reshape(R)
     take_count = outs[16][0, 0]
     return new, take_count
+
+
+# ---------------------------------------------------------------------------
+# Seam-merged flush + refill
+# ---------------------------------------------------------------------------
+#
+# In the loop body [refill -> bounce -> flush], the flush of iteration i is
+# immediately followed by the refill of iteration i+1, and both are
+# elementwise/MXU passes over the same slot blocks.  Rotating the seam into
+# ONE kernel (flush the radiance of every currently-dead slot, then refill)
+# removes a pallas launch plus the XLA window glue per iteration.  The
+# rotation is exact:
+#   * a slot that died in bounce i is dead at the top of iteration i+1 and
+#     its radiance planes still hold the dead value -> flushed here;
+#   * a dead slot that could not be refilled (queue exhausted) had its
+#     radiance zeroed when first flushed (zero_dead_radiance above), so
+#     re-flushing it accumulates exact zeros;
+#   * slots that die in the FINAL bounce are flushed by one standalone
+#     flush_accumulate call after the while_loop (render/integrator.py).
+
+
+def _flush_dead(b, base_ref, pix, dead, r0, r1, r2, fb_ref, fbo,
+                oh_s, w_s, n_hi: int):
+    """One-hot MXU accumulate of dead slots' radiance into the fb window
+    (same layout/trick as ops/flush_kernel._flush_kernel)."""
+    hi = jax.lax.shift_right_logical(pix, 7) - base_ref[0]
+    lo = jax.lax.bitwise_and(pix, 127)
+    ok = dead & (hi >= 0) & (hi < n_hi)
+    hi = jnp.where(ok, hi, n_hi)
+
+    @pl.when(b == 0)
+    def _():
+        fbo[:] = fb_ref[:]
+
+    rads = (r0, r1, r2)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, _LANES), 0)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+    for g in range(_SUBLANES // _GROUP):
+        s0 = g * _GROUP
+        for k in range(_GROUP):
+            sl = slice(k * _LANES, (k + 1) * _LANES)
+            hrow = hi[s0 + k : s0 + k + 1, :]
+            lrow = lo[s0 + k : s0 + k + 1, :]
+            oh_s[:, sl] = (hrow == hi_iota).astype(jnp.bfloat16)
+            lmask = (lrow == lo_iota).astype(jnp.bfloat16)
+            for c in range(3):
+                w_s[c * _LANES : (c + 1) * _LANES, sl] = lmask * rads[c][
+                    s0 + k : s0 + k + 1, :
+                ].astype(jnp.bfloat16)
+        fbo[:, :] += jax.lax.dot_general(
+            oh_s[:, :], w_s[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _make_rng_flush_kernel(n_media: int, n_hi: int):
+    """_make_rng_kernel + the seam-merged framebuffer flush."""
+
+    def kernel(*refs):
+        (scal_ref, cam_ref, seed_ref, base_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+         t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
+         bounce_ref, pix_ref, act_ref, fb_ref) = refs[:21]
+        outs = refs[21:21 + 16]
+        tko = refs[21 + 16]
+        u_outs = refs[21 + 17:21 + 17 + 4 + n_media]
+        fbo = refs[21 + 17 + 4 + n_media]
+        carry_smem, oh_s, w_s = refs[-3:]
+
+        b = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] ^ (b * jnp.int32(-1640531527)), seed_ref[1])
+        shape = ox_ref.shape
+
+        def u01():
+            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+            return top24.astype(jnp.float32) * (1.0 / 16777216.0)
+
+        uj0, uj1, ul0, ul1, ut = u01(), u01(), u01(), u01(), u01()
+        for uo in u_outs:
+            uo[:] = u01()
+
+        dead = act_ref[:] == 0
+        _flush_dead(
+            b, base_ref, pix_ref[:], dead,
+            r0_ref[:], r1_ref[:], r2_ref[:],
+            fb_ref, fbo, oh_s, w_s, n_hi,
+        )
+        _refill_body(
+            scal_ref, cam_ref, uj0, uj1, ul0, ul1, ut,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+            t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
+            bounce_ref, pix_ref, act_ref,
+            *outs, tko, carry_smem, zero_dead_radiance=True,
+        )
+
+    return kernel
+
+
+def _make_flush_kernel(n_hi: int):
+    """Uniforms-as-inputs variant (interpret-mode testable)."""
+
+    def kernel(*refs):
+        (scal_ref, cam_ref, base_ref,
+         uj0_ref, uj1_ref, ul0_ref, ul1_ref, ut_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+         t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
+         bounce_ref, pix_ref, act_ref, fb_ref) = refs[:25]
+        outs = refs[25:25 + 16]
+        tko = refs[25 + 16]
+        fbo = refs[25 + 17]
+        carry_smem, oh_s, w_s = refs[-3:]
+
+        b = pl.program_id(0)
+        dead = act_ref[:] == 0
+        _flush_dead(
+            b, base_ref, pix_ref[:], dead,
+            r0_ref[:], r1_ref[:], r2_ref[:],
+            fb_ref, fbo, oh_s, w_s, n_hi,
+        )
+        _refill_body(
+            scal_ref, cam_ref,
+            uj0_ref[:], uj1_ref[:], ul0_ref[:], ul1_ref[:], ut_ref[:],
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+            t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
+            bounce_ref, pix_ref, act_ref,
+            *outs, tko, carry_smem, zero_dead_radiance=True,
+        )
+
+    return kernel
+
+
+_REFILL_NAMES_F = ["ox", "oy", "oz", "dx", "dy", "dz", "tm",
+                   "t0", "t1", "t2", "r0", "r1", "r2"]
+_REFILL_NAMES_I = ["bounce", "pix", "act"]
+
+
+def _flush_scratch(n_hi: int):
+    return [
+        pltpu.SMEM((2,), jnp.int32),
+        pltpu.VMEM((n_hi, _GROUP * _LANES), jnp.bfloat16),
+        pltpu.VMEM((3 * _LANES, _GROUP * _LANES), jnp.bfloat16),
+    ]
+
+
+def fused_refill_flush_rng(
+    state_planes,
+    key2: jnp.ndarray,  # (2,) int32 per-iteration seed material
+    cam_vec: jnp.ndarray,  # (21,) f32 packed camera
+    scal: jnp.ndarray,  # (8,) i32
+    fb: jnp.ndarray,  # (n_hi, 384) f32 accumulator window
+    base,  # () int32 first fb row the window covers
+    n_media: int,
+):
+    """Seam-merged flush+refill with hardware-PRNG uniforms.
+
+    Returns (new_planes, take_count, u_ball, u_choice, u_media, fb_out)."""
+    R = state_planes["ox"].shape[0]
+    rows = R // _LANES
+    grid = rows // _SUBLANES
+    n_hi = fb.shape[0]
+    spec = pl.BlockSpec((_SUBLANES, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    fb_spec = pl.BlockSpec((n_hi, 3 * _LANES), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    f32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    n_u = 4 + n_media
+
+    ins = (
+        [scal, cam_vec, key2, jnp.reshape(base, (1,)).astype(jnp.int32)]
+        + [plane(state_planes[n]) for n in _REFILL_NAMES_F]
+        + [plane(state_planes[n]) for n in _REFILL_NAMES_I]
+        + [fb]
+    )
+    outs = pl.pallas_call(
+        _make_rng_flush_kernel(n_media, n_hi),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+        + [spec] * 16 + [fb_spec],
+        out_specs=(spec,) * 16
+        + (pl.BlockSpec(memory_space=pltpu.SMEM),)
+        + (spec,) * n_u
+        + (fb_spec,),
+        out_shape=tuple(
+            [f32] * 13 + [i32] * 3
+            + [jax.ShapeDtypeStruct((1, 1), jnp.int32)]
+            + [f32] * n_u
+            + [jax.ShapeDtypeStruct((n_hi, 3 * _LANES), jnp.float32)]
+        ),
+        scratch_shapes=_flush_scratch(n_hi),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(*ins)
+
+    new = {}
+    for k, name in enumerate(_REFILL_NAMES_F + _REFILL_NAMES_I):
+        new[name] = outs[k].reshape(R)
+    take_count = outs[16][0, 0]
+    us = [outs[17 + i].reshape(R) for i in range(n_u)]
+    fb_out = outs[17 + n_u]
+    return new, take_count, tuple(us[0:3]), us[3], tuple(us[4:]), fb_out
+
+
+def fused_refill_flush(
+    state_planes,
+    uniforms,  # (uj0, uj1, ul0, ul1, ut) each (R,)
+    cam_vec: jnp.ndarray,
+    scal: jnp.ndarray,
+    fb: jnp.ndarray,  # (n_hi, 384)
+    base,
+    *,
+    interpret: bool = False,
+):
+    """Seam-merged flush+refill, uniforms as inputs (testable in interpret
+    mode).  Returns (new_planes, take_count, fb_out)."""
+    R = state_planes["ox"].shape[0]
+    rows = R // _LANES
+    grid = rows // _SUBLANES
+    n_hi = fb.shape[0]
+    spec = pl.BlockSpec((_SUBLANES, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    fb_spec = pl.BlockSpec((n_hi, 3 * _LANES), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    f32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+
+    ins = (
+        [scal, cam_vec, jnp.reshape(base, (1,)).astype(jnp.int32)]
+        + [plane(u) for u in uniforms]
+        + [plane(state_planes[n]) for n in _REFILL_NAMES_F]
+        + [plane(state_planes[n]) for n in _REFILL_NAMES_I]
+        + [fb]
+    )
+    outs = pl.pallas_call(
+        _make_flush_kernel(n_hi),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        + [spec] * (5 + 16) + [fb_spec],
+        out_specs=(spec,) * 16
+        + (pl.BlockSpec(memory_space=pltpu.SMEM),)
+        + (fb_spec,),
+        out_shape=tuple(
+            [f32] * 13 + [i32] * 3
+            + [jax.ShapeDtypeStruct((1, 1), jnp.int32)]
+            + [jax.ShapeDtypeStruct((n_hi, 3 * _LANES), jnp.float32)]
+        ),
+        scratch_shapes=_flush_scratch(n_hi),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(*ins)
+
+    new = {}
+    for k, name in enumerate(_REFILL_NAMES_F + _REFILL_NAMES_I):
+        new[name] = outs[k].reshape(R)
+    take_count = outs[16][0, 0]
+    return new, take_count, outs[17]
 
 
 def pack_camera(cam) -> jnp.ndarray:

@@ -247,6 +247,8 @@ def trace(
 class _PoolState(NamedTuple):
     it: jnp.ndarray  # () int32 iteration counter (keys the RNG block)
     next_q: jnp.ndarray  # () int32 global queue head
+    fmin: jnp.ndarray  # () int32 min pixel row among last bounce's died
+    # (seam-flush window base; 1<<30 when nothing died)
     o: tuple  # 3 x (R,)
     d: tuple  # 3 x (R,)
     tm: jnp.ndarray  # (R,)
@@ -303,6 +305,7 @@ def render_wavefront(
     state = _PoolState(
         it=jnp.int32(0),
         next_q=jnp.int32(0),
+        fmin=jnp.int32(1 << 30),
         o=(zeros, zeros, zeros),
         d=(zeros, zeros, ones),
         tm=zeros,
@@ -334,9 +337,23 @@ def render_wavefront(
     use_kernel_rng = use_fused_refill and not __import__("os").environ.get(
         "ART_TPU_NO_KERNEL_RNG"
     )
+    # Seam-merged flush (opt-in, ART_TPU_SEAM_FLUSH=1): the framebuffer
+    # flush of iteration i happens at the top of iteration i+1 inside the
+    # refill kernel (ops/refill_kernel.py), saving one pallas launch + the
+    # XLA window glue per iteration.  Measured on v5e it LOSES ~1-3%
+    # (quads 256 vs 263, bouncing 110.8 vs 112.0 Mrays/s): the refill
+    # kernel's extra fb window in/out stream and one-hot VMEM scratch cost
+    # more than the launch it saves (docs/PERF_NOTES.md).  Kept off.
+    use_seam = (
+        use_kernel_rng
+        and _FLUSH == "pallas"
+        and not _NO_FLUSH
+        and bool(__import__("os").environ.get("ART_TPU_SEAM_FLUSH"))
+    )
     if use_fused_refill:
         from art_tpu.ops.refill_kernel import (
             fused_refill,
+            fused_refill_flush_rng,
             fused_refill_rng,
             pack_camera,
         )
@@ -367,10 +384,28 @@ def render_wavefront(
                 key2 = jax.random.key_data(
                     artrng.fold(key, st.it)
                 ).astype(jnp.int32)
-                new, take_count, u_ball, u_choice, u_media = fused_refill_rng(
-                    planes, key2, cam_vec, scal,
-                    n_media=max(tables.n_media, 1),
-                )
+                if use_seam:
+                    base = jnp.clip(
+                        jax.lax.shift_right_logical(st.fmin, 7),
+                        0, n_hi_pallas - n_hi_win,
+                    )
+                    window = jax.lax.dynamic_slice(
+                        st.fb, (base, 0), (n_hi_win, 384)
+                    )
+                    (new, take_count, u_ball, u_choice, u_media,
+                     window2) = fused_refill_flush_rng(
+                        planes, key2, cam_vec, scal, window, base,
+                        n_media=max(tables.n_media, 1),
+                    )
+                    fb_flushed = jax.lax.dynamic_update_slice(
+                        st.fb, window2, (base, 0)
+                    )
+                else:
+                    (new, take_count, u_ball, u_choice,
+                     u_media) = fused_refill_rng(
+                        planes, key2, cam_vec, scal,
+                        n_media=max(tables.n_media, 1),
+                    )
             else:
                 U = artrng.uniform(artrng.fold(key, st.it), (ncols, R))
                 u_ball = (U[0], U[1], U[2])
@@ -435,7 +470,12 @@ def render_wavefront(
 
         # ---- flush newly-terminated rays to the framebuffer ----
         died = active & ~still_alive
-        if _NO_FLUSH:  # perf-debug only: wrong image
+        if use_seam:
+            # flushed at the top of the NEXT iteration inside the refill
+            # kernel; carry the window base for it
+            fb = fb_flushed
+            fmin = jnp.min(jnp.where(died, pix, jnp.int32(1 << 30)))
+        elif _NO_FLUSH:  # perf-debug only: wrong image
             fb = jax.tree_util.tree_map(
                 lambda f: f.reshape(-1).at[0].add(
                     jnp.sum(jnp.where(died, radiance[0], 0.0))
@@ -539,6 +579,7 @@ def render_wavefront(
         return _PoolState(
             it=st.it + 1,
             next_q=next_q,
+            fmin=fmin if use_seam else st.fmin,
             o=o2,
             d=d2,
             tm=tm,
@@ -552,6 +593,24 @@ def render_wavefront(
         )
 
     final = jax.lax.while_loop(cond, body, state)
+    if use_seam:
+        # rays that died in the FINAL bounce were never seam-flushed; all
+        # other dead slots hold exact-zero radiance, so flushing every dead
+        # slot once is exact.
+        from art_tpu.ops.flush_kernel import flush_accumulate
+
+        base = jnp.clip(
+            jax.lax.shift_right_logical(final.fmin, 7),
+            0, n_hi_pallas - n_hi_win,
+        )
+        window = jax.lax.dynamic_slice(final.fb, (base, 0), (n_hi_win, 384))
+        slab = flush_accumulate(
+            final.pix, ~final.active, final.radiance, window, base=base,
+            interpret=jax.default_backend() != "tpu",
+        )
+        final = final._replace(
+            fb=jax.lax.dynamic_update_slice(final.fb, slab, (base, 0))
+        )
     if isinstance(final.fb, tuple):
         fb = jnp.stack(final.fb, axis=-1)
     elif _FLUSH in ("pallas", "matmul"):

@@ -111,3 +111,80 @@ def test_fused_refill_large_queue_ids():
     _run_case(4, frac_active=0.4, next_q=411 * 65536 + 65000,
               spp=500, P=65536, pix_offset=0, total_pixels=960000,
               nx=1200, ny=800)
+
+
+# ---------------------------------------------------------------------------
+# Seam-merged flush + refill (ops/refill_kernel.fused_refill_flush)
+# ---------------------------------------------------------------------------
+
+
+def _run_seam_case(seed, frac_active, next_q, base_row, spp=7, P=1000,
+                   pix_offset=64000, total_pixels=64800, nx=360, ny=180,
+                   n_hi=16):
+    from art_tpu.ops.flush_kernel import flush_accumulate
+    from art_tpu.ops.refill_kernel import fused_refill_flush
+
+    cam = make_camera(
+        lookfrom=(13, 2, 3), lookat=(0, 0, 0), vup=(0, 1, 0),
+        vfov_degrees=30.0, aspect=2.0, aperture=0.1, focus_dist=10.0,
+        time0=0.0, time1=1.0,
+    )
+    planes, uniforms = _random_state(seed, frac_active)
+    # pix values inside and outside the window
+    planes["pix"] = jax.random.randint(
+        jax.random.PRNGKey(seed + 100), (R,), 0, P, jnp.int32
+    )
+    fb = jax.random.uniform(
+        jax.random.PRNGKey(seed + 200), (n_hi, 384), jnp.float32
+    )
+    base = jnp.int32(base_row)
+    scal = jnp.asarray(
+        [next_q // spp, next_q % spp, spp, P, pix_offset, total_pixels, nx, ny],
+        jnp.int32,
+    )
+    got, got_count, got_fb = fused_refill_flush(
+        planes, uniforms, pack_camera(cam), scal, fb, base, interpret=True
+    )
+
+    # reference: flush every dead slot's radiance, then jnp refill with the
+    # all-dead radiance-zeroing rule
+    dead = planes["act"] == 0
+    want_fb = flush_accumulate(
+        planes["pix"], dead,
+        (planes["r0"], planes["r1"], planes["r2"]),
+        fb, base=base, interpret=True,
+    )
+    want, want_count = _jnp_refill(
+        planes, uniforms, cam, next_q, spp, P, pix_offset,
+        total_pixels, nx, ny,
+    )
+    for n in ("r0", "r1", "r2"):
+        want[n] = jnp.where(dead, 0.0, want[n])
+
+    assert int(got_count) == int(want_count)
+    for n in want:
+        np.testing.assert_allclose(
+            np.asarray(got[n]), np.asarray(want[n]), rtol=1e-5, atol=1e-5,
+            err_msg=n,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_fb), np.asarray(want_fb), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_seam_flush_refill_mixed_pool():
+    _run_seam_case(10, frac_active=0.4, next_q=123, base_row=0)
+
+
+def test_seam_flush_refill_windowed_base():
+    # window starting mid-framebuffer: out-of-window dead slots are dropped
+    _run_seam_case(11, frac_active=0.3, next_q=2000, base_row=3)
+
+
+def test_seam_flush_refill_all_dead():
+    _run_seam_case(12, frac_active=0.0, next_q=0, base_row=1)
+
+
+def test_seam_flush_refill_queue_exhausted():
+    # dead slots that cannot refill still flush (their radiance then zeroes)
+    _run_seam_case(13, frac_active=0.5, next_q=7 * 1000, base_row=0)
