@@ -18,9 +18,15 @@ traversal kernel (SURVEY.md §7 "stackless / fixed-size-stack iterative
 traversal").  ``traverse_closest`` is the vectorized jnp reference
 implementation used to validate the structure against brute force.
 
-Round-1 status: built and tested; not yet wired into the render path
-(brute-force Pallas kernels are currently faster at reference scene sizes —
-see docs/PERF_NOTES.md for the round-2 plan).
+Render-path wiring (round 2): the BVH feeds the render path two ways —
+(a) ``cluster_primitives`` orders primitives in BVH-leaf order for the
+block-synchronous cluster-culled kernels (ART_TPU_CLUSTER), and (b) the
+packed node table (``pack_bvh`` -> tables.sph_bvh) drives the opt-in
+per-ray descent mode (ART_TPU_BVH=1, ops/intersect.bvh_sphere_candidates_p).
+Measured on v5e the per-ray descent loses ~144x to the brute vector scan
+(every step is a serial per-lane node gather; docs/PERF_NOTES.md "BVH
+descent"), which is why the default TPU designs are the brute unrolled
+scan, cluster culling, and the lattice grid kernel.
 """
 
 from __future__ import annotations
@@ -208,22 +214,38 @@ def pack_bvh(tree: FlatBVH) -> np.ndarray:
 
 
 def traverse_closest(tree: FlatBVH, prim_t_fn, o, d, t_min, t_max=1e30):
-    """Vectorized escape-link traversal (jnp) — the reference implementation
-    for validating the flattened structure.
+    """Vectorized escape-link traversal (jnp) over a host FlatBVH."""
+    import jax.numpy as jnp
+
+    return traverse_closest_packed(
+        jnp.asarray(pack_bvh(tree)), tree.n_nodes, prim_t_fn, o, d,
+        t_min, t_max,
+    )
+
+
+def traverse_closest_packed(nodes, n_nodes: int, prim_t_fn, o, d,
+                            t_min, t_max=1e30):
+    """Vectorized escape-link traversal (jnp) over packed (Mn, 8) node rows
+    ([min(3) max(3) escape prim], pack_bvh) — the per-ray descent analog of
+    the reference's recursive bvh_node::hit (src/bvh.cuh:95-106), with the
+    shrinking-tmax closest-hit rule.  Each ray walks its own node counter;
+    every step gathers that ray's node row, so on TPU this pays a serial
+    (R,) gather per step — kept as the opt-in ART_TPU_BVH path and as the
+    validation reference for the flattened structure.
 
     ``prim_t_fn(prim_idx (R,), active (R,))`` must return candidate hit t
     (R,) for each ray against its primitive (BIG on miss).  Returns
-    (t_best (R,), prim_best (R,)).
+    (t_best (R,), prim_best (R,)); prim_best is -1 where no hit.
     """
     import jax
     import jax.numpy as jnp
 
     R = o.shape[0]
-    M = tree.n_nodes
-    nb_min = jnp.asarray(tree.bbox_min)
-    nb_max = jnp.asarray(tree.bbox_max)
-    esc = jnp.asarray(tree.escape)
-    prim = jnp.asarray(tree.prim)
+    M = n_nodes
+    nb_min = nodes[:, 0:3]
+    nb_max = nodes[:, 3:6]
+    esc = nodes[:, 6].astype(jnp.int32)
+    prim = nodes[:, 7].astype(jnp.int32)
 
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
 

@@ -118,6 +118,16 @@ _MXU_SPHERES = bool(os.environ.get("ART_TPU_MXU_SPHERES"))
 # Grid-box field kernel (pallas_kernels.box_grid_hit_attrs): default-on
 # when the builder detected a lattice (tables.box_grid_kx > 0).
 _NO_GRID_BOXES = bool(os.environ.get("ART_TPU_NO_GRID_BOXES"))
+# Per-ray BVH descent for spheres (opt-in): the direct analog of the
+# reference's log-n bvh_node::hit (src/bvh.cuh:95-106).  Measured on v5e
+# it loses by an order of magnitude to the brute-force vector kernels —
+# every traversal step is a per-lane node fetch, which XLA lowers to a
+# serial (R,) gather (docs/PERF_NOTES.md "BVH descent") — so the default
+# TPU designs are: brute unrolled VPU scan (wins at reference scene
+# sizes), BVH-leaf-order cluster culling (ART_TPU_CLUSTER), and the
+# lattice grid kernel.  This flag exists to measure that claim end-to-end
+# and to keep the reference's traversal wired through the render path.
+_BVH_ENV = bool(os.environ.get("ART_TPU_BVH"))
 
 
 def _no_cluster() -> bool:
@@ -165,6 +175,53 @@ def sphere_candidates_p(tables: SceneTables, o, d, time, t_min):
     idx = jnp.argmin(t, axis=1).astype(jnp.int32)
     t_best = jnp.min(t, axis=1)
     return t_best, idx
+
+
+def bvh_sphere_candidates_p(tables: SceneTables, o, d, time, t_min):
+    """Best sphere hit per ray via per-ray escape-link BVH descent
+    (reference src/bvh.cuh:95-106): (t_best (R,), idx (R,)).
+
+    Same candidate semantics as ``sphere_candidates_p`` (strict disc > 0,
+    near root if > t_min else far root, src/sphere.cuh:51-89), but each ray
+    tests only the leaves its walk reaches, with the running closest t
+    shrinking the slab-test window.
+    """
+    from art_tpu.ops.bvh import traverse_closest_packed
+
+    ox, oy, oz = o
+    dx, dy, dz = d
+    a = dx * dx + dy * dy + dz * dz
+
+    def prim_t_fn(idx, active):
+        c = tables.sph_center[idx]  # (R,3) per-lane gather
+        r = tables.sph_radius[idx]
+        cx, cy, cz = c[:, 0], c[:, 1], c[:, 2]
+        if tables.has_moving:
+            v = tables.sph_vel[idx]
+            cx = cx + time * v[:, 0]
+            cy = cy + time * v[:, 1]
+            cz = cz + time * v[:, 2]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        b = ocx * dx + ocy * dy + ocz * dz
+        csq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - a * csq
+        s = jnp.sqrt(jnp.maximum(disc, 0.0))
+        inv_a = 1.0 / a
+        t1 = (-b - s) * inv_a
+        t2 = (-b + s) * inv_a
+        valid = active & (disc > 0.0)
+        return jnp.where(
+            valid & (t1 > t_min), t1,
+            jnp.where(valid & (t2 > t_min), t2, BIG),
+        )
+
+    o_rows = jnp.stack(o, axis=-1)
+    d_rows = jnp.stack(d, axis=-1)
+    t_best, prim_best = traverse_closest_packed(
+        tables.sph_bvh, tables.n_sph_bvh_nodes, prim_t_fn,
+        o_rows, d_rows, t_min, t_max=BIG,
+    )
+    return t_best, jnp.maximum(prim_best, 0).astype(jnp.int32)
 
 
 def quad_candidates_p(tables: SceneTables, o, d, t_min):
@@ -398,7 +455,11 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
         from art_tpu.ops import pallas_kernels as pk
 
     if tables.n_spheres:
-        if use_pallas:
+        if _BVH_ENV and tables.n_sph_bvh_nodes:
+            # opt-in per-ray BVH descent (reference-style traversal);
+            # winner attributes via the idx gather path below
+            t_s, idx_s = bvh_sphere_candidates_p(tables, o, d, time, t_min)
+        elif use_pallas:
             # Winner attributes come out of the kernel — no table gather.
             if tables.n_sphere_clusters and not _no_cluster():
                 t_s, n_s, u_s, v_s, m_s = pk.sphere_hit_attrs_clustered(

@@ -591,4 +591,26 @@ class _Compiler:
                 tables, box_cl_packed=bcl, box_cl_box=bbox,
                 n_box_clusters=n_bcl,
             )
+        if tables.n_spheres >= 2:
+            # Flattened escape-link sphere BVH for the opt-in per-ray
+            # descent path (ART_TPU_BVH=1) — same split rule as the
+            # reference's device build (src/bvh.cuh:29-84).
+            from art_tpu.ops.bvh import (
+                build_bvh,
+                pack_bvh,
+                sphere_world_bounds,
+            )
+
+            bmin, bmax = sphere_world_bounds(
+                np.asarray(tables.sph_center),
+                np.asarray(tables.sph_vel) if tables.has_moving
+                else np.zeros_like(np.asarray(tables.sph_center)),
+                np.asarray(tables.sph_radius),
+            )
+            tree = build_bvh(bmin, bmax)
+            tables = dataclasses.replace(
+                tables,
+                sph_bvh=jnp.asarray(pack_bvh(tree)),
+                n_sph_bvh_nodes=tree.n_nodes,
+            )
         return tables

@@ -144,6 +144,11 @@ class SceneTables:
     sph_mxu_attr: jnp.ndarray  # (8, S_pad) transposed packed table
     # Grid-box height/material table (Kx, Kz, 2) [y1, mat] — detect_box_grid
     box_grid: jnp.ndarray
+    # Flattened escape-link sphere BVH (ops/bvh.pack_bvh rows
+    # [min(3) max(3) escape prim]) for the opt-in per-ray descent path
+    # (ART_TPU_BVH=1, ops/intersect.bvh_sphere_candidates_p) — the direct
+    # analog of the reference's bvh_node::hit (src/bvh.cuh:95-106).
+    sph_bvh: jnp.ndarray  # (Mn, 8)
 
     # ---- static metadata (specializes the compiled trace per scene) ----
     n_spheres: int = _static()
@@ -152,6 +157,7 @@ class SceneTables:
     n_media: int = _static()
     n_sphere_clusters: int = _static()
     n_box_clusters: int = _static()
+    n_sph_bvh_nodes: int = _static()  # 0 = no sphere BVH built
     med_kinds: tuple = _static()  # per-medium boundary kind: 0=sphere, 1=box
     has_moving: bool = _static()
     has_rotated_boxes: bool = _static()
@@ -239,12 +245,14 @@ def empty_tables() -> dict:
         sph_mxu_feat=_z((2, 16)),
         sph_mxu_attr=_z((8, 1)),
         box_grid=_z((1, 1, 2)),
+        sph_bvh=_z((1, 8)),
         n_spheres=0,
         n_quads=0,
         n_boxes=0,
         n_media=0,
         n_sphere_clusters=0,
         n_box_clusters=0,
+        n_sph_bvh_nodes=0,
         med_kinds=(),
         has_moving=False,
         has_rotated_boxes=False,

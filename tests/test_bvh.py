@@ -106,3 +106,36 @@ def test_traversal_matches_brute_force():
     # winning primitive matches wherever the closest hit is unambiguous
     agree = (p_best[hits_t] == bp[hits_b]).mean()
     assert agree > 0.99
+
+
+def test_render_path_bvh_candidates_match_brute():
+    """The ART_TPU_BVH render-path intersection (bvh_sphere_candidates_p
+    over tables.sph_bvh built at scene compile) must equal the brute
+    candidate pass for real scene tables and random rays."""
+    from art_tpu.ops.intersect import (
+        bvh_sphere_candidates_p,
+        sphere_candidates_p,
+    )
+
+    sc = build_scene("bouncing_spheres", 64, 32)
+    t = sc.tables
+    assert t.n_sph_bvh_nodes == 2 * t.n_spheres - 1
+
+    rng = np.random.default_rng(7)
+    R = 512
+    o_np = rng.uniform(-14, 14, (R, 3)).astype(np.float32)
+    o_np[:, 1] = rng.uniform(0.1, 6.0, R)
+    d_np = rng.normal(size=(R, 3)).astype(np.float32)
+    time = jnp.asarray(rng.uniform(0, 1, R).astype(np.float32))
+    o = tuple(jnp.asarray(o_np[:, c]) for c in range(3))
+    d = tuple(jnp.asarray(d_np[:, c]) for c in range(3))
+
+    bt, bi = sphere_candidates_p(t, o, d, time, 1e-3)
+    vt, vi = bvh_sphere_candidates_p(t, o, d, time, 1e-3)
+    bt, bi, vt, vi = (np.asarray(x) for x in (bt, bi, vt, vi))
+
+    hits_b = bt < 1e29
+    hits_v = vt < 1e29
+    np.testing.assert_array_equal(hits_b, hits_v)
+    np.testing.assert_allclose(vt[hits_v], bt[hits_b], rtol=1e-3)
+    assert (vi[hits_v] == bi[hits_b]).mean() > 0.99
