@@ -91,6 +91,8 @@ _NO_FLUSH = bool(__import__("os").environ.get("ART_TPU_NO_FLUSH"))
 # additionally builds the one-hot operands in VMEM instead of streaming
 # ~230 MB/iter of them through HBM.
 _FLUSH_ENV = __import__("os").environ.get("ART_TPU_FLUSH", "auto")
+_NO_KERNEL_RNG = bool(__import__("os").environ.get("ART_TPU_NO_KERNEL_RNG"))
+_SEAM_FLUSH = bool(__import__("os").environ.get("ART_TPU_SEAM_FLUSH"))
 
 
 def _flush_mode(R: int) -> str:
@@ -334,9 +336,7 @@ def render_wavefront(
         return ((st.next_q < n_q) | jnp.any(st.active)) & (st.it < max_iters)
 
     use_fused_refill = _fused_refill_ok(R)
-    use_kernel_rng = use_fused_refill and not __import__("os").environ.get(
-        "ART_TPU_NO_KERNEL_RNG"
-    )
+    use_kernel_rng = use_fused_refill and not _NO_KERNEL_RNG
     # Seam-merged flush (opt-in, ART_TPU_SEAM_FLUSH=1): the framebuffer
     # flush of iteration i happens at the top of iteration i+1 inside the
     # refill kernel (ops/refill_kernel.py), saving one pallas launch + the
@@ -348,7 +348,7 @@ def render_wavefront(
         use_kernel_rng
         and _FLUSH == "pallas"
         and not _NO_FLUSH
-        and bool(__import__("os").environ.get("ART_TPU_SEAM_FLUSH"))
+        and _SEAM_FLUSH
     )
     if use_fused_refill:
         from art_tpu.ops.refill_kernel import (
