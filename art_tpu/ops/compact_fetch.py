@@ -1,0 +1,120 @@
+"""Adaptive compaction for the per-ray image-texel fetch.
+
+The dense per-ray atlas gather is the single most expensive op of
+image-textured scenes: XLA lowers a random (R,) gather to a scalar-serial
+loop (~7 cycles/element => ~0.93 ms at R=2^17), and masking does not help
+because the cost is per-ELEMENT, not per-useful-element
+(docs/PERF_NOTES.md "image gather is a hardware floor").  But in
+final_scene only ~5% of rays per bounce hit an image-textured surface.
+
+The earlier compact-then-gather experiment (scripts/exp_compact_gather.py)
+failed because the compaction step itself was an XLA scatter with R
+updates (1.23 ms — scatter is serial over updates).  This module replaces
+that step with the one-hot MXU scatter already powering the framebuffer
+flush (ops/flush_kernel.py): ranks become one-hot rows, values ride the
+matmul as byte-split bf16-exact channels, and the whole R->K compaction
+costs one ~(K, C*128) x (R-lane) accumulation (~0.1 ms) instead of a
+serial scatter.  Pipeline per bounce:
+
+1. ``rank = exclusive_cumsum(needy)`` — vectorized log-step, ~free;
+2. ``slots = flush_accumulate(pix=rank, died=needy, values)`` — MXU
+   scatter of (flat texel index, ray id) into K compacted slots, each
+   split into three bytes (integers <= 255 are exact in bf16, and each
+   slot receives exactly one update, so the f32 accumulation is exact);
+3. ``texels = atlas[flat_k]`` — a K-element gather (~7 cyc/elem but K
+   is 16-32x smaller than R);
+4. ``out.at[ray_k].set(texels)`` — an XLA scatter with K updates
+   (serial over updates, but only K of them).
+
+Correctness does not depend on the needy count: a ``lax.cond`` falls back
+to the dense gather whenever more than K rays want a texel this bounce
+(e.g. the earth scene, where EVERY surface is image-textured), so the
+compact path is an exact, adaptive fast path, never an approximation.
+Empty compacted slots scatter to row index R with mode='drop'.
+
+The reference has no analog (per-thread pointer-chased texture reads,
+src/texture.cuh:51-59); this is wavefront-native restructuring.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from art_tpu.ops.flush_kernel import RAY_BLOCK, flush_accumulate
+
+# Compacted slot count: must be a multiple of 128 (one-hot rows) and
+# comfortably above the per-bounce needy-ray population of the mixed pool
+# (final_scene: ~5% of 2^17 = ~6.5k).  2^14 gives 2.5x headroom; beyond
+# the cap the cond takes the dense branch, so this is a tuning knob only.
+FETCH_K = int(os.environ.get("ART_TPU_FETCH_K", "16384"))
+
+
+def _bytes3(x: jnp.ndarray):
+    """Split a non-negative int32 (< 2^24) into three bf16-exact bytes."""
+    xf = x.astype(jnp.int32)
+    return (
+        (xf & 0xFF).astype(jnp.float32),
+        ((xf >> 8) & 0xFF).astype(jnp.float32),
+        ((xf >> 16) & 0xFF).astype(jnp.float32),
+    )
+
+
+def _unbytes3(b0, b1, b2) -> jnp.ndarray:
+    return (
+        b0.astype(jnp.int32)
+        + (b1.astype(jnp.int32) << 8)
+        + (b2.astype(jnp.int32) << 16)
+    )
+
+
+def compact_gather(
+    data: jnp.ndarray,  # (T,) flat atlas (any dtype XLA can gather/scatter)
+    flat_idx: jnp.ndarray,  # (R,) int32 texel index per ray (any value ok
+    #                         on non-needy lanes; must be in-range on needy)
+    needy: jnp.ndarray,  # (R,) bool — lanes that actually want a texel
+    *,
+    k: int = 0,  # compacted capacity (0 = FETCH_K)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """data[flat_idx] on needy lanes, 0 elsewhere — via adaptive compaction.
+
+    Exact: compact and dense branches agree bit-for-bit on needy lanes.
+    """
+    R = flat_idx.shape[0]
+    K = k or FETCH_K
+
+    def dense(_):
+        return jnp.where(needy, data[jnp.clip(flat_idx, 0, data.shape[0] - 1)],
+                         jnp.zeros((), data.dtype))
+
+    if R % RAY_BLOCK != 0 or K % 128 != 0 or R <= K:
+        return dense(None)
+
+    cnt = jnp.sum(needy.astype(jnp.int32))
+
+    def compact(_):
+        needy_i = needy.astype(jnp.int32)
+        rank = jnp.cumsum(needy_i) - needy_i  # exclusive
+        ray_id = jnp.arange(R, dtype=jnp.int32)
+        fb0 = jnp.zeros((K // 128, 6 * 128), jnp.float32)
+        slots = flush_accumulate(
+            rank, needy,
+            _bytes3(flat_idx) + _bytes3(ray_id),
+            fb0, interpret=interpret,
+        )
+        # slot k's channel c lives at [k >> 7, c*128 + (k & 127)]
+        ch = slots.reshape(K // 128, 6, 128)
+        ch = jnp.moveaxis(ch, 1, 0).reshape(6, K)
+        flat_k = _unbytes3(ch[0], ch[1], ch[2])
+        ray_k = _unbytes3(ch[3], ch[4], ch[5])
+        texel_k = data[jnp.clip(flat_k, 0, data.shape[0] - 1)]
+        # route empty slots (k >= cnt) out of bounds so 'drop' ignores them
+        ray_k = jnp.where(jnp.arange(K, dtype=jnp.int32) < cnt, ray_k, R)
+        return (
+            jnp.zeros((R,), data.dtype).at[ray_k].set(texel_k, mode="drop")
+        )
+
+    return jax.lax.cond(cnt <= K, compact, dense, None)

@@ -53,8 +53,10 @@ _GROUP = 16  # sublane rows contracted per dot: K = GROUP*128 = 2048
 # internal transpose copy of the 384-row W operand)
 
 
-def _flush_kernel(base_ref, pix_ref, died_ref, r0_ref, r1_ref, r2_ref,
-                  fb_ref, out_ref, oh_s, w_s, *, n_hi: int):
+def _flush_kernel(base_ref, pix_ref, died_ref, *rest,
+                  n_hi: int, n_chan: int = 3, group: int = _GROUP):
+    rad_refs = rest[:n_chan]
+    fb_ref, out_ref, oh_s, w_s = rest[n_chan:]
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -73,20 +75,20 @@ def _flush_kernel(base_ref, pix_ref, died_ref, r0_ref, r1_ref, r2_ref,
     ok = died & (hi >= 0) & (hi < n_hi)
     hi = jnp.where(ok, hi, n_hi)
 
-    rads = (r0_ref[:], r1_ref[:], r2_ref[:])
+    rads = tuple(r[:] for r in rad_refs)
     # dim-0 iotas are identical for every lane group: build once
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, _LANES), 0)
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
 
-    for g in range(_SUBLANES // _GROUP):
-        s0 = g * _GROUP
-        for k in range(_GROUP):
+    for g in range(_SUBLANES // group):
+        s0 = g * group
+        for k in range(group):
             sl = slice(k * _LANES, (k + 1) * _LANES)
             hrow = hi[s0 + k : s0 + k + 1, :]  # (1, LANES)
             lrow = lo[s0 + k : s0 + k + 1, :]
             oh_s[:, sl] = (hrow == hi_iota).astype(jnp.bfloat16)
             lmask = (lrow == lo_iota).astype(jnp.bfloat16)
-            for c in range(3):
+            for c in range(n_chan):
                 w_s[c * _LANES : (c + 1) * _LANES, sl] = lmask * rads[c][
                     s0 + k : s0 + k + 1, :
                 ].astype(jnp.bfloat16)
@@ -100,19 +102,28 @@ def _flush_kernel(base_ref, pix_ref, died_ref, r0_ref, r1_ref, r2_ref,
 def flush_accumulate(
     pix: jnp.ndarray,  # (R,) int32 framebuffer row of each slot
     died: jnp.ndarray,  # (R,) bool — flush these slots' radiance
-    radiance,  # 3-tuple of (R,) f32
-    fb: jnp.ndarray,  # (n_hi, 384) f32 accumulator (or a window of it)
+    radiance,  # tuple of (R,) f32 value channels (3 for the fb flush)
+    fb: jnp.ndarray,  # (n_hi, C*128) f32 accumulator (or a window of it)
     *,
     base=None,  # () int32 first fb row this window covers (None = 0)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """fb[p//128 - base, c*128 + p%128] += radiance[c][r] for every died
-    slot r (pixel p = pix[r]); returns the updated accumulator window."""
+    slot r (pixel p = pix[r]); returns the updated accumulator window.
+
+    Channel values are rounded once to bf16 (exact for the fb flush's
+    Monte-Carlo purposes, and exact, period, for integers <= 256 — the
+    compact-fetch kernel in ops/compact_fetch.py relies on that by
+    byte-splitting its payloads)."""
     R = pix.shape[0]
     assert R % RAY_BLOCK == 0, R
     rows = R // _LANES
     grid = rows // _SUBLANES
     n_hi = fb.shape[0]
+    n_chan = len(radiance)
+    assert fb.shape[1] == n_chan * _LANES, (fb.shape, n_chan)
+    # larger W operands blow the 16 MB scoped-vmem limit at GROUP=16
+    group = _GROUP if n_chan <= 3 else _GROUP // 2
     if base is None:
         base = jnp.int32(0)
 
@@ -120,7 +131,7 @@ def flush_accumulate(
         (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     fb_spec = pl.BlockSpec(
-        (n_hi, 3 * _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        (n_hi, n_chan * _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     base_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -128,14 +139,14 @@ def flush_accumulate(
         return x.reshape(rows, _LANES)
 
     return pl.pallas_call(
-        functools.partial(_flush_kernel, n_hi=n_hi),
+        functools.partial(_flush_kernel, n_hi=n_hi, n_chan=n_chan, group=group),
         grid=(grid,),
-        in_specs=[base_spec] + [ray_spec] * 5 + [fb_spec],
+        in_specs=[base_spec] + [ray_spec] * (2 + n_chan) + [fb_spec],
         out_specs=fb_spec,
-        out_shape=jax.ShapeDtypeStruct((n_hi, 3 * _LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_hi, n_chan * _LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((n_hi, _GROUP * _LANES), jnp.bfloat16),
-            pltpu.VMEM((3 * _LANES, _GROUP * _LANES), jnp.bfloat16),
+            pltpu.VMEM((n_hi, group * _LANES), jnp.bfloat16),
+            pltpu.VMEM((n_chan * _LANES, group * _LANES), jnp.bfloat16),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -145,8 +156,6 @@ def flush_accumulate(
         jnp.reshape(base, (1,)).astype(jnp.int32),
         plane(pix),
         plane(died.astype(jnp.int32)),
-        plane(radiance[0]),
-        plane(radiance[1]),
-        plane(radiance[2]),
+        *[plane(r) for r in radiance],
         fb,
     )

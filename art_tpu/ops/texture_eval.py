@@ -34,6 +34,7 @@ _TURB_MAX = 7  # noise_texture uses turb(p, 7) (src/texture.cuh:69)
 # 7-octave perlin turbulence.
 _DBG = __import__("os").environ.get("ART_TPU_DBG", "")
 _NO_TURB_KERNEL = bool(__import__("os").environ.get("ART_TPU_NO_TURB_KERNEL"))
+_NO_COMPACT_FETCH = bool(__import__("os").environ.get("ART_TPU_NO_COMPACT_FETCH"))
 
 
 def _turb(px, py, pz, depth: int, depth_mask=None):
@@ -116,7 +117,18 @@ def eval_texture_p(
             s = img_id.astype(jnp.float32) + u + v
             img_val = jnp.stack([s, s * 0.5, s * 0.25], axis=-1)
         else:
-            img_val = tables.atlas.sample(img_id, u, v)
+            import jax
+
+            use_compact = (
+                not _NO_COMPACT_FETCH
+                and jax.default_backend() == "tpu"
+                and u.ndim == 1
+                and u.shape[0] % 8192 == 0
+            )
+            img_val = tables.atlas.sample(
+                img_id, u, v,
+                needy=(ttype == TexType.IMAGE) if use_compact else None,
+            )
         out = p_where(
             ttype == TexType.IMAGE,
             (img_val[:, 0], img_val[:, 1], img_val[:, 2]),

@@ -83,8 +83,20 @@ class ImageAtlas:
             wmax=wmax,
         )
 
-    def sample(self, img_id: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-        """Nearest-texel sample with clamp + v-flip (reference src/texture.cuh:51-59)."""
+    def sample(
+        self,
+        img_id: jnp.ndarray,
+        u: jnp.ndarray,
+        v: jnp.ndarray,
+        needy: jnp.ndarray | None = None,
+        interpret: bool = False,
+    ) -> jnp.ndarray:
+        """Nearest-texel sample with clamp + v-flip (reference src/texture.cuh:51-59).
+
+        With ``needy`` (a bool mask of lanes that actually want a texel),
+        the fetch may take the adaptive compaction fast path
+        (ops/compact_fetch.py): exact on needy lanes, zeros elsewhere.
+        """
         n = self.heights.shape[0]
         img_id = jnp.clip(img_id, 0, n - 1)
         w = self.widths[img_id]
@@ -94,7 +106,12 @@ class ImageAtlas:
         i = jnp.minimum((uu * w.astype(jnp.float32)).astype(jnp.int32), w - 1)
         j = jnp.minimum(((1.0 - vv) * h.astype(jnp.float32)).astype(jnp.int32), h - 1)
         flat = (img_id * self.hmax + j) * self.wmax + i
-        px = self.data[flat]
+        if needy is not None:
+            from art_tpu.ops.compact_fetch import compact_gather
+
+            px = compact_gather(self.data, flat, needy, interpret=interpret)
+        else:
+            px = self.data[flat]
         scale = jnp.float32(1.0 / 255.0)
         r = (px & 0xFF).astype(jnp.float32) * scale
         g = ((px >> 8) & 0xFF).astype(jnp.float32) * scale

@@ -1,0 +1,84 @@
+"""Adaptive compacted image-texel fetch (ops/compact_fetch.py).
+
+The compact path must be EXACT — bit-equal to the dense gather on needy
+lanes — because it feeds the reference-parity image-texture pipeline
+(src/texture.cuh:51-59 nearest-texel semantics).  Exactness rests on the
+byte-split bf16 channels (integers <= 255 are exact in bf16) and on each
+compacted slot receiving exactly one one-hot update.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from art_tpu.ops.compact_fetch import compact_gather
+
+R = 8192  # one flush-kernel ray block
+T = 1 << 19  # atlas span exercising all three index bytes
+
+
+def _mk(density: float, seed: int = 3):
+    k0, k1 = jax.random.split(jax.random.PRNGKey(seed))
+    flat = jax.random.randint(k0, (R,), 0, T, jnp.int32)
+    needy = jax.random.uniform(k1, (R,)) < density
+    data = jnp.arange(T, dtype=jnp.uint32) * jnp.uint32(2654435761)  # distinct texels
+    return data, flat, needy
+
+
+def test_compact_matches_dense_sparse():
+    data, flat, needy = _mk(0.05)
+    got = compact_gather(data, flat, needy, k=1024, interpret=True)
+    want = jnp.where(needy, data[flat], 0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_boundary_indices_exact():
+    """Largest flat index (T-1) and largest ray id (R-1) must round-trip
+    the byte-split channels exactly."""
+    data, flat, _ = _mk(0.0)
+    flat = flat.at[0].set(T - 1).at[R - 1].set(T - 1).at[17].set(0)
+    needy = jnp.zeros((R,), bool).at[0].set(True).at[R - 1].set(True).at[17].set(True)
+    got = compact_gather(data, flat, needy, k=1024, interpret=True)
+    want = jnp.where(needy, data[flat], 0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_overflow_falls_back_to_dense():
+    """More needy lanes than compacted slots: the lax.cond must take the
+    dense branch and stay exact."""
+    data, flat, _ = _mk(0.0)
+    needy = jnp.ones((R,), bool)
+    got = compact_gather(data, flat, needy, k=1024, interpret=True)
+    want = data[flat]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_unaligned_pool_uses_dense():
+    data = jnp.arange(T, dtype=jnp.uint32)
+    flat = jnp.arange(100, dtype=jnp.int32)
+    needy = jnp.ones((100,), bool)
+    got = compact_gather(data, flat, needy, k=1024)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(data[:100]))
+
+
+def test_atlas_sample_needy_matches_dense():
+    """ImageAtlas.sample(needy=...) must equal the plain sample on needy
+    lanes (the texture-eval integration point)."""
+    from art_tpu.utils.images import ImageAtlas
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (64, 96, 3), np.uint8)
+    atlas = ImageAtlas.pack([img])
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(9), 3)
+    u = jax.random.uniform(k0, (R,), jnp.float32) * 1.2 - 0.1  # incl. clamp
+    v = jax.random.uniform(k1, (R,), jnp.float32) * 1.2 - 0.1
+    img_id = jnp.zeros((R,), jnp.int32)
+    needy = jax.random.uniform(k2, (R,)) < 0.07
+
+    dense = atlas.sample(img_id, u, v)
+    compact = atlas.sample(img_id, u, v, needy=needy, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(compact)[np.asarray(needy)],
+        np.asarray(dense)[np.asarray(needy)],
+    )
+    assert (np.asarray(compact)[~np.asarray(needy)] == 0).all()
