@@ -566,8 +566,95 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
 # Constant media (exponential free-flight in convex boundaries)
 # --------------------------------------------------------------------------
 
+def _gb_first_hit(tables: SceneTables, m: int, o, d, time, t_lo):
+    """Closest boundary hit with t > t_lo over medium m's kind-2 primitive
+    set — the vectorized analog of one ``boundary->hit(r, t_lo, +inf)``
+    call (reference src/constant_medium.cuh:38-44 runs it twice).
+
+    Returns ((R,) t, (R,) hit).  Static per-prim loop: gb tables are tiny
+    (general boundaries appear in no reference scene) and the med-id
+    tuples are compile-time, so other media's prims cost nothing.
+    """
+    R = o[0].shape[0]
+    best = jnp.full((R,), BIG, jnp.float32)
+    hit = jnp.zeros((R,), bool)
+
+    def consider(t_c, ok):
+        nonlocal best, hit
+        ok = ok & (t_c > t_lo) & (t_c < best)
+        best = jnp.where(ok, t_c, best)
+        hit = hit | ok
+
+    for i, mi in enumerate(tables.gb_sph_meds):
+        if mi != m:
+            continue
+        row = tables.gb_sph[i]
+        c = (row[0] + time * row[3], row[1] + time * row[4],
+             row[2] + time * row[5])
+        r = row[6]
+        oc = (o[0] - c[0], o[1] - c[1], o[2] - c[2])
+        a = p_dot(d, d)
+        b = p_dot(oc, d)
+        csq = p_dot(oc, oc) - r * r
+        disc = b * b - a * csq
+        s = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b - s) / a
+        t2 = (-b + s) / a
+        # smaller root if beyond t_lo, else the far root (src/sphere.cuh:51-89)
+        t_c = jnp.where(t1 > t_lo, t1, t2)
+        consider(t_c, disc > 0.0)
+
+    for i, mi in enumerate(tables.gb_quad_meds):
+        if mi != m:
+            continue
+        row = tables.gb_quad[i]
+        q, u, v = row[0:3], row[3:6], row[6:9]
+        w, n = row[9:12], row[12:15]
+        dd = row[15]
+        denom = n[0] * d[0] + n[1] * d[1] + n[2] * d[2]
+        ok = jnp.abs(denom) > 1e-8  # src/quad.cuh:63-65
+        t_c = (dd - (n[0] * o[0] + n[1] * o[1] + n[2] * o[2])) / jnp.where(
+            ok, denom, 1.0
+        )
+        p = p_ray_at(o, d, t_c)
+        pl = (p[0] - q[0], p[1] - q[1], p[2] - q[2])
+        # alpha = dot(w, cross(planar, v)); beta = dot(w, cross(u, planar))
+        cx = (pl[1] * v[2] - pl[2] * v[1], pl[2] * v[0] - pl[0] * v[2],
+              pl[0] * v[1] - pl[1] * v[0])
+        alpha = w[0] * cx[0] + w[1] * cx[1] + w[2] * cx[2]
+        cu = (u[1] * pl[2] - u[2] * pl[1], u[2] * pl[0] - u[0] * pl[2],
+              u[0] * pl[1] - u[1] * pl[0])
+        beta = w[0] * cu[0] + w[1] * cu[1] + w[2] * cu[2]
+        interior = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
+        consider(t_c, ok & interior)
+
+    for i, mi in enumerate(tables.gb_box_meds):
+        if mi != m:
+            continue
+        row = tables.gb_box[i]
+        cos_t, sin_t = row[6], row[7]
+        off = row[8:11]
+        o_obj = p_rotate_y_inv(
+            (o[0] - off[0], o[1] - off[1], o[2] - off[2]), cos_t, sin_t
+        )
+        d_obj = p_rotate_y_inv(d, cos_t, sin_t)
+        entry = jnp.full((R,), -BIG, jnp.float32)
+        exit_ = jnp.full((R,), BIG, jnp.float32)
+        for axis in range(3):
+            inv = 1.0 / _safe_dir(d_obj[axis])
+            ta = (row[axis] - o_obj[axis]) * inv
+            tb = (row[3 + axis] - o_obj[axis]) * inv
+            entry = jnp.maximum(entry, jnp.minimum(ta, tb))
+            exit_ = jnp.minimum(exit_, jnp.maximum(ta, tb))
+        t_c = jnp.where(entry > t_lo, entry, exit_)
+        consider(t_c, entry < exit_)
+
+    return best, hit
+
+
 def apply_media_p(
-    tables: SceneTables, o, d, t_min, surf: HitRecordP, u_media: jnp.ndarray
+    tables: SceneTables, o, d, t_min, surf: HitRecordP, u_media: jnp.ndarray,
+    time=None,
 ) -> HitRecordP:
     """Overlay medium scatter events on the surface hit record.
 
@@ -576,11 +663,15 @@ def apply_media_p(
     over (-inf, inf) is clipped to [t_min, t_surface], an exponential
     free-flight distance is drawn, and the closest accepted scatter wins.
     ``u_media`` is a (>=n_media, R) block of U[0,1) samples (row-planar).
+    ``time`` (the per-ray shutter time) only matters for kind-2 general
+    boundaries containing moving spheres.
     """
     if not tables.n_media:
         return surf
 
     R = o[0].shape[0]
+    if time is None:
+        time = jnp.zeros((R,), jnp.float32)
     ray_len = jnp.sqrt(p_dot(d, d))
     len_ok = (ray_len > 0.0) & jnp.isfinite(ray_len)
 
@@ -601,7 +692,7 @@ def apply_media_p(
             entry = (-b - s) / a
             exit_ = (-b + s) / a
             bnd_ok = disc > 0.0
-        else:
+        elif kind == 1:
             cos_t = tables.med_cos[m]
             sin_t = tables.med_sin[m]
             off = tables.med_off[m]
@@ -618,9 +709,19 @@ def apply_media_p(
                 entry = jnp.maximum(entry, jnp.minimum(ta, tb))
                 exit_ = jnp.minimum(exit_, jnp.maximum(ta, tb))
             bnd_ok = entry < exit_
+        else:  # kind == 2: general boundary, two traversals of its prim set
+            entry, hit1 = _gb_first_hit(
+                tables, m, o, d, time, jnp.full((R,), -BIG, jnp.float32)
+            )
+            # second hit searched from rec1.t + 1e-4 (src/constant_medium.cuh:40)
+            exit_, hit2 = _gb_first_hit(tables, m, o, d, time, entry + 1e-4)
+            bnd_ok = hit1 & hit2
 
-        # second boundary hit must be separated by 1e-4 (src/constant_medium.cuh:40)
-        bnd_ok = bnd_ok & ((exit_ - entry) > 1e-4)
+        if kind != 2:
+            # analytic-interval emulation of the reference's "second hit must
+            # lie beyond rec1.t + 1e-4" rule (src/constant_medium.cuh:40);
+            # the general path applies it directly via t_lo above
+            bnd_ok = bnd_ok & ((exit_ - entry) > 1e-4)
         rec1 = jnp.maximum(entry, t_min)
         rec2 = jnp.minimum(exit_, best_t)
         ok = bnd_ok & (rec1 < rec2) & len_ok
@@ -661,9 +762,12 @@ def closest_surface(tables: SceneTables, o, d, time, t_min) -> HitRecord:
     return _to_aos(rec)
 
 
-def apply_media(tables: SceneTables, o, d, t_min, surf: HitRecord, u_media) -> HitRecord:
+def apply_media(
+    tables: SceneTables, o, d, t_min, surf: HitRecord, u_media, time=None
+) -> HitRecord:
     rec = apply_media_p(
-        tables, p_unstack(o), p_unstack(d), t_min, surf.to_planar(), u_media
+        tables, p_unstack(o), p_unstack(d), t_min, surf.to_planar(), u_media,
+        time=time,
     )
     return _to_aos(rec)
 

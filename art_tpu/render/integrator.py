@@ -137,7 +137,7 @@ def _bounce_step(tables, o, d, tm, throughput, radiance, active,
         )
     else:
         surf = closest_surface_p(tables, o, d, tm, T_MIN)
-        rec = apply_media_p(tables, o, d, T_MIN, surf, u_media)
+        rec = apply_media_p(tables, o, d, T_MIN, surf, u_media, time=tm)
 
     bg = background_color_p(d, background, gradient_bg)
     miss = active & ~rec.hit

@@ -161,6 +161,11 @@ class _Compiler:
         self.quads: list[tuple] = []  # (q, u, v, mat_id, inward)
         self.boxes: list[tuple] = []  # (bmin, bmax, cos, sin, off, mat_id)
         self.media: list[tuple] = []  # (kind, params..., neg_inv_density, mat_id)
+        # kind-2 (general) medium boundary primitives, tagged by medium idx
+        self.gb_sph: list[tuple] = []  # (med, c0, vel, radius)
+        self.gb_quad: list[tuple] = []  # (med, q, u, v)
+        self.gb_box: list[tuple] = []  # (med, bmin, bmax, cos, sin, off)
+        self._in_boundary = False
         self.mats: list[dict] = []
         self.texs: list[dict] = []
         self.images: list[np.ndarray] = []
@@ -340,7 +345,16 @@ class _Compiler:
                 (bmin, bmax, math.cos(xf.theta), math.sin(xf.theta),
                  xf.offset.copy(), self.mat_id(mat))
             )
+        elif isinstance(obj, O.Group):
+            for child in obj.children:
+                self.visit(child, xf, material_override)
         elif isinstance(obj, O.ConstantMedium):
+            if self._in_boundary:
+                raise TypeError(
+                    "a ConstantMedium boundary cannot contain another "
+                    "ConstantMedium (the reference's boundary->hit chain "
+                    "has no such nesting either, src/constant_medium.cuh:38-44)"
+                )
             self._visit_medium(obj, xf)
         else:
             raise TypeError(f"unknown scene object: {type(obj)!r}")
@@ -382,14 +396,35 @@ class _Compiler:
                      off=inner.offset.copy(), nid=nid, mat=mat_id)
             )
         else:
-            raise TypeError(
-                "ConstantMedium boundary must reduce to a (possibly "
-                "translated/rotated) Sphere or Box, got "
-                f"{type(node).__name__}. The reference accepts any hittable "
-                "boundary (src/constant_medium.cuh:16-34); this framework "
-                "restricts it to convex analytic boundaries so the entry/exit "
-                "interval is closed-form — every reference scene satisfies "
-                "this (documented capability gap, see README)."
+            # General boundary (reference src/constant_medium.cuh:16-34
+            # accepts any hittable): compile the subtree's primitives into
+            # the per-medium gb tables; apply_media_p runs the reference's
+            # first-hit/second-hit traversal over them brute-force.
+            med_idx = len(self.media)
+            saved = (self.spheres, self.quads, self.boxes)
+            self.spheres, self.quads, self.boxes = [], [], []
+            self._in_boundary = True
+            try:
+                self.visit(med.boundary, xf, None)
+                bnd_sph, bnd_quad, bnd_box = self.spheres, self.quads, self.boxes
+            finally:
+                self.spheres, self.quads, self.boxes = saved
+                self._in_boundary = False
+            if not (bnd_sph or bnd_quad or bnd_box):
+                raise TypeError(
+                    "ConstantMedium boundary contains no geometry "
+                    f"({type(med.boundary).__name__})"
+                )
+            for c0, vel, radius, _m in bnd_sph:
+                self.gb_sph.append((med_idx, c0, vel, radius))
+            for q, u, v, _m, _inward in bnd_quad:
+                self.gb_quad.append((med_idx, q, u, v))
+            for bmin, bmax, cos_t, sin_t, off, _m in bnd_box:
+                self.gb_box.append((med_idx, bmin, bmax, cos_t, sin_t, off))
+            self.media.append(
+                dict(kind=2, center=np.zeros(3), radius=1.0,
+                     bmin=np.zeros(3), bmax=np.ones(3), cos=1.0, sin=0.0,
+                     off=np.zeros(3), nid=nid, mat=mat_id)
             )
 
     # -- table assembly --
@@ -471,6 +506,37 @@ class _Compiler:
                 med_mat=jnp.asarray([m["mat"] for m in self.media], np.int32),
                 n_media=len(self.media),
                 med_kinds=tuple(int(m["kind"]) for m in self.media),
+            )
+
+        if self.gb_sph:
+            t.update(
+                gb_sph=jnp.asarray(
+                    [[*g[1], *g[2], g[3]] for g in self.gb_sph], f32
+                ),
+                gb_sph_meds=tuple(int(g[0]) for g in self.gb_sph),
+            )
+        if self.gb_quad:
+            rows = []
+            for _m, q, u, v in self.gb_quad:
+                q = np.asarray(q, np.float64)
+                u = np.asarray(u, np.float64)
+                v = np.asarray(v, np.float64)
+                n = np.cross(u, v)
+                nn = float(np.dot(n, n))
+                normal = n / math.sqrt(nn)
+                rows.append([*q, *u, *v, *(n / nn), *normal,
+                             float(np.dot(normal, q))])
+            t.update(
+                gb_quad=jnp.asarray(rows, f32),
+                gb_quad_meds=tuple(int(g[0]) for g in self.gb_quad),
+            )
+        if self.gb_box:
+            t.update(
+                gb_box=jnp.asarray(
+                    [[*g[1], *g[2], g[3], g[4], *g[5]] for g in self.gb_box],
+                    f32,
+                ),
+                gb_box_meds=tuple(int(g[0]) for g in self.gb_box),
             )
 
         t.update(

@@ -55,11 +55,30 @@ class Box(SceneObject):
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
-class ConstantMedium(SceneObject):
-    """Homogeneous medium inside a convex boundary (src/constant_medium.cuh).
+class Group(SceneObject):
+    """Fixed collection of child objects sharing a transform chain — the
+    host-side analog of the reference's ``hittable_list``/``bvh_node``
+    aggregates (src/hittable_list.cuh:7-57, src/bvh.cuh:20-116).  Children
+    flatten into the scene tables at compile time; as a ConstantMedium
+    boundary it selects the general two-traversal medium path."""
 
-    ``boundary`` must be a Sphere or Box (possibly transformed) — the only
-    boundary shapes the reference scenes use; anything else fails at build.
+    children: tuple
+
+    def __init__(self, *children):
+        if len(children) == 1 and isinstance(children[0], (list, tuple)):
+            children = tuple(children[0])
+        object.__setattr__(self, "children", tuple(children))
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ConstantMedium(SceneObject):
+    """Homogeneous medium inside a boundary hittable (src/constant_medium.cuh).
+
+    A boundary reducing to a single (possibly transformed) Sphere or Box
+    compiles to the closed-form analytic interval path; ANY other boundary
+    (Quad, Group, mixtures) compiles to the general two-traversal path,
+    matching the reference's first-hit/second-hit semantics
+    (src/constant_medium.cuh:38-44) for arbitrary hittables.
     """
 
     boundary: SceneObject

@@ -108,6 +108,15 @@ class SceneTables:
     med_off: jnp.ndarray  # (C,3)
     med_neg_inv_density: jnp.ndarray  # (C,)  -1/density
     med_mat: jnp.ndarray  # (C,) int32 (isotropic phase material)
+    # General (kind-2) medium boundaries: the reference accepts ANY
+    # hittable as a constant_medium boundary (src/constant_medium.cuh:16-34).
+    # Media whose boundary does not reduce to one analytic sphere/box
+    # compile their boundary subtree into these rows; apply_media_p
+    # evaluates first/second closest hits over each medium's subset
+    # brute-force (cold jnp path — no reference scene needs one).
+    gb_sph: jnp.ndarray  # (Gs, 7)  [cx cy cz vx vy vz radius]
+    gb_quad: jnp.ndarray  # (Gq, 16) [q(3) u(3) v(3) w(3) n(3) d]
+    gb_box: jnp.ndarray  # (Gb, 11) [min(3) max(3) cos sin off(3)]
 
     # ---- materials ----
     mat_type: jnp.ndarray  # (M,) int32 MatType
@@ -158,7 +167,12 @@ class SceneTables:
     n_sphere_clusters: int = _static()
     n_box_clusters: int = _static()
     n_sph_bvh_nodes: int = _static()  # 0 = no sphere BVH built
-    med_kinds: tuple = _static()  # per-medium boundary kind: 0=sphere, 1=box
+    med_kinds: tuple = _static()  # per-medium boundary kind: 0=sphere, 1=box, 2=general
+    # Per-primitive owning-medium ids of the kind-2 boundary tables (static
+    # so the trace only visits each medium's own subset).
+    gb_sph_meds: tuple = _static()
+    gb_quad_meds: tuple = _static()
+    gb_box_meds: tuple = _static()
     has_moving: bool = _static()
     has_rotated_boxes: bool = _static()
     tex_types_present: tuple = _static()  # sorted tuple of TexType ints present
@@ -220,6 +234,9 @@ def empty_tables() -> dict:
         med_off=_z((1, 3)),
         med_neg_inv_density=-jnp.ones((1,), jnp.float32),
         med_mat=_z((1,), jnp.int32),
+        gb_sph=_z((1, 7)),
+        gb_quad=_z((1, 16)),
+        gb_box=_z((1, 11)),
         mat_type=_z((1,), jnp.int32),
         mat_tex=_z((1,), jnp.int32),
         mat_rgb=jnp.ones((1, 3), jnp.float32),
@@ -254,6 +271,9 @@ def empty_tables() -> dict:
         n_box_clusters=0,
         n_sph_bvh_nodes=0,
         med_kinds=(),
+        gb_sph_meds=(),
+        gb_quad_meds=(),
+        gb_box_meds=(),
         has_moving=False,
         has_rotated_boxes=False,
         tex_types_present=(),

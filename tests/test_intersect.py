@@ -259,15 +259,15 @@ def test_box_rotated_180_degrees():
     np.testing.assert_allclose(rec.normal[0], [0, 0, 1], atol=1e-5)
 
 
-def test_medium_boundary_restriction_raises():
-    """Any non-Sphere/Box medium boundary fails fast at scene build with a
-    clear message (documented capability gap vs src/constant_medium.cuh)."""
-    import pytest
-
+def test_medium_boundary_general_path_compiles():
+    """A non-Sphere/Box medium boundary no longer fails: it compiles to the
+    kind-2 general two-traversal path (reference src/constant_medium.cuh:16-34
+    accepts any hittable; full behavior tests in tests/test_media_general.py)."""
     quad_boundary = Quad((0, 0, -5), (1, 0, 0), (0, 1, 0), MAT)
     med = ConstantMedium(quad_boundary, 0.5, (1, 1, 1))
-    with pytest.raises(TypeError, match="Sphere or Box"):
-        _scene(med)
+    sc = _scene(med)
+    assert sc.tables.med_kinds == (2,)
+    assert sc.tables.gb_quad_meds == (0,)
 
 
 def test_distinct_media_keep_distinct_phase_materials():
