@@ -46,10 +46,14 @@ import jax.numpy as jnp
 from art_tpu.ops.flush_kernel import RAY_BLOCK, flush_accumulate
 
 # Compacted slot count: must be a multiple of 128 (one-hot rows) and
-# comfortably above the per-bounce needy-ray population of the mixed pool
-# (final_scene: ~5% of 2^17 = ~6.5k).  2^14 gives 2.5x headroom; beyond
-# the cap the cond takes the dense branch, so this is a tuning knob only.
-FETCH_K = int(os.environ.get("ART_TPU_FETCH_K", "16384"))
+# above the per-bounce needy-ray population of the mixed pool
+# (final_scene: ~5% of 2^17 = ~6.5k).  Beyond the cap the cond takes the
+# dense branch, so this is a tuning knob only.  Measured on v5e
+# (docs/PERF_NOTES.md): 8192 beats 16384 on every image scene that
+# compacts (final 55.2 vs 53.2, original 51.6 vs 50.2, simple_light 117.0
+# vs 112.1) — the scatter kernel's MXU cost is linear in K and the needy
+# population stays well under 8k.
+FETCH_K = int(os.environ.get("ART_TPU_FETCH_K", "8192"))
 
 
 def _bytes3(x: jnp.ndarray):

@@ -118,6 +118,15 @@ _MXU_SPHERES = bool(os.environ.get("ART_TPU_MXU_SPHERES"))
 # Grid-box field kernel (pallas_kernels.box_grid_hit_attrs): default-on
 # when the builder detected a lattice (tables.box_grid_kx > 0).
 _NO_GRID_BOXES = bool(os.environ.get("ART_TPU_NO_GRID_BOXES"))
+# Expanded-quadratic static sphere loop (pack_spheres col 9): the builder
+# gates it by coordinate scale (sph_expand); on top of that it only WINS
+# past ~1k static spheres (v5e A/B: final_scene 55.2 -> 56.7 at 1008, but
+# bouncing 111.8 -> 109.8 at 488 — the extra K scalar load outweighs the
+# 3-op vector cut on smaller tables).  ART_TPU_SPH_EXPAND forces it on,
+# ART_TPU_NO_SPH_EXPAND off.
+_NO_SPH_EXPAND = bool(os.environ.get("ART_TPU_NO_SPH_EXPAND"))
+_FORCE_SPH_EXPAND = bool(os.environ.get("ART_TPU_SPH_EXPAND"))
+_SPH_EXPAND_MIN_STATIC = 768
 # Per-ray BVH descent for spheres (opt-in): the direct analog of the
 # reference's log-n bvh_node::hit (src/bvh.cuh:95-106).  Measured on v5e
 # it loses by an order of magnitude to the brute-force vector kernels —
@@ -478,6 +487,12 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                     n_moving=tables.sph_n_moving_pad,
                     n_static=tables.sph_n_static,
                     needs_uv=needs_uv,
+                    expand=tables.sph_expand
+                    and not _NO_SPH_EXPAND
+                    and (
+                        _FORCE_SPH_EXPAND
+                        or tables.sph_n_static >= _SPH_EXPAND_MIN_STATIC
+                    ),
                 )
             sph_attrs = (n_s, u_s, v_s, m_s)
         else:

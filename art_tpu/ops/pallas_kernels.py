@@ -37,7 +37,8 @@ _SPH_UNROLL = int(__import__("os").environ.get("ART_TPU_SPH_UNROLL", "32"))
 
 def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    tm_ref, t_ref, nx_ref, ny_ref, nz_ref, mat_ref,
-                   *, n_static: int, t_min: float, n_moving: int):
+                   *, n_static: int, t_min: float, n_moving: int,
+                   expand: bool = False):
     """Closest sphere hit with winner attributes computed in-kernel.
 
     Carrying the winning sphere's (time-evaluated) center/radius/material
@@ -101,6 +102,34 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         cand = (b + s2) * neg_inv_a
         return cand, cx, cy, cz, r, m
 
+    if expand:
+        # expanded-quadratic static form: b = o.d - c.d,
+        # c' = |o|^2 - 2 o.c + K with K = |c|^2 - r^2 precomputed
+        # (pack_spheres col 9).  3 fewer VPU ops/sphere than the oc build;
+        # the builder's sph_expand gate bounds the cancellation error at
+        # (|c|^2+1)*6*2^-23 << r^2 for every static sphere.
+        oo = ox * ox + oy * oy + oz * oz
+        od = ox * dx + oy * dy + oz * dz
+        ox2, oy2, oz2 = 2.0 * ox, 2.0 * oy, 2.0 * oz
+
+        def candidate_static(s):
+            cx = sph_ref[s, 0]
+            cy = sph_ref[s, 1]
+            cz = sph_ref[s, 2]
+            r = sph_ref[s, 6]
+            m = sph_ref[s, 7]
+            K = sph_ref[s, 9]
+            b = od - (cx * dx + cy * dy + cz * dz)  # == oc.d
+            c = (oo + K) - (cx * ox2 + cy * oy2 + cz * oz2)  # == |oc|^2 - r^2
+            disc = b * b - a * c
+            sq = jnp.sqrt(disc)  # NaN on miss
+            s2 = jnp.where(b + sq < ta2, sq, -sq)
+            cand = (b + s2) * neg_inv_a
+            return cand, cx, cy, cz, r, m
+    else:
+        def candidate_static(s):
+            return candidate(s, False)
+
     def update(carry, cand):
         best_t, bcx, bcy, bcz, br, bm = carry
         t, cx, cy, cz, r, m = cand
@@ -128,7 +157,7 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     def body_static(i, carry):
         s = n_moving + i * UNROLL
         for k in range(UNROLL):
-            carry = update(carry, candidate(s + k, False))
+            carry = update(carry, candidate_static(s + k))
         return carry
 
     carry = init
@@ -163,7 +192,7 @@ def _ray_grid(R: int):
 
 
 def sphere_hit_attrs_planar(
-    sph_packed: jnp.ndarray,  # (S, 9) pack_spheres rows (moving-first)
+    sph_packed: jnp.ndarray,  # (S, 10) pack_spheres rows (moving-first)
     o,  # 3-tuple of (R,) planes
     d,  # 3-tuple of (R,) planes
     tm: jnp.ndarray,  # (R,)
@@ -171,6 +200,7 @@ def sphere_hit_attrs_planar(
     n_moving: int,  # padded moving-segment size (pack_spheres)
     n_static: int,  # real static count (pack_spheres)
     needs_uv: bool,
+    expand: bool = False,  # expanded-quadratic static loop (builder-gated)
     interpret: bool = False,
 ):
     """Per-ray closest sphere hit with attributes:
@@ -188,7 +218,8 @@ def sphere_hit_attrs_planar(
     i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
     t, nx, ny, nz, mat = pl.pallas_call(
         functools.partial(
-            _sphere_kernel, n_static=n_static, t_min=1e-3, n_moving=n_moving
+            _sphere_kernel, n_static=n_static, t_min=1e-3, n_moving=n_moving,
+            expand=expand,
         ),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
@@ -637,9 +668,9 @@ def _sphere_rows(tables):
 
 
 def pack_spheres(tables) -> tuple[jnp.ndarray, int, int]:
-    """Kernel-ordered sphere table: [cx cy cz vx vy vz radius mat r2].
+    """Kernel-ordered sphere table: [cx cy cz vx vy vz radius mat r2 K].
 
-    Returns (packed (Sm_pad + Ss_pad, 9), n_moving_pad, n_static) with
+    Returns (packed (Sm_pad + Ss_pad, 10), n_moving_pad, n_static) with
     moving spheres sorted to the front so the kernel's static loop skips
     the center-motion FMAs.  The reorder is invisible outside the kernel —
     winner attributes come out of the kernel itself, the jnp reference path
@@ -649,7 +680,14 @@ def pack_spheres(tables) -> tuple[jnp.ndarray, int, int]:
     keeps the SIGNED radius for the hollow-glass normal flip).  Each
     segment is padded to a multiple of 16 for the unrolled loop; pad rows
     get r2 = -1 so disc = (oc.d)^2 - |d|^2(|oc|^2 + 1) < 0 strictly
-    (Cauchy-Schwarz) and the NaN-reject can never accept them."""
+    (Cauchy-Schwarz) and the NaN-reject can never accept them.
+
+    Column 9 is K = |c|^2 - r^2 for the expanded-quadratic static loop
+    (c' = |o|^2 - 2 o.c + K), which trades the oc build for 3 fewer VPU
+    ops per sphere; pad rows get K = 1e30 so c' is hugely positive and
+    disc = b^2 - a*c' < 0 strictly (Cauchy-Schwarz again: b^2 <= a*|o|^2
+    < a*c').  The builder gates the expanded form by coordinate scale
+    (see sph_expand)."""
     import numpy as np
 
     rows = _sphere_rows(tables)
@@ -657,10 +695,18 @@ def pack_spheres(tables) -> tuple[jnp.ndarray, int, int]:
     mov, stat = rows[is_moving], rows[~is_moving]
     sm_pad = -(-len(mov) // 32) * 32 if len(mov) else 0
     ss_pad = -(-len(stat) // 32) * 32
-    out = np.zeros((sm_pad + ss_pad, 9), np.float32)
+    out = np.zeros((sm_pad + ss_pad, 10), np.float32)
     out[:, 8] = -1.0
-    out[: len(mov)] = mov
-    out[sm_pad : sm_pad + len(stat)] = stat
+    out[:, 9] = 1e30
+    out[: len(mov), :9] = mov
+    out[sm_pad : sm_pad + len(stat), :9] = stat
+    real = np.zeros(len(out), bool)
+    real[: len(mov)] = True
+    real[sm_pad : sm_pad + len(stat)] = True
+    c = out[real, 0:3].astype(np.float64)
+    out[real, 9] = (np.sum(c * c, axis=1) - out[real, 8].astype(np.float64)).astype(
+        np.float32
+    )
     return jnp.asarray(out), sm_pad, len(stat)
 
 

@@ -599,11 +599,26 @@ class _Compiler:
         )
 
         sph_packed, sph_n_moving_pad, sph_n_static = pack_spheres(tables)
+        # Expanded-quadratic gate (ops/pallas_kernels._sphere_kernel): the
+        # expansion c' = |o|^2 - 2 o.c + (|c|^2 - r^2) cancels its large
+        # terms when the ray origin sits ON the sphere (every scattered
+        # ray), with absolute error ~ (|c|^2+1)*6*2^-23 (origins near
+        # sphere s satisfy |o| ~ |c_s|).  Safe when that error is < 1% of
+        # r^2 for every static sphere.
+        if sph_n_static:
+            pk_np = np.asarray(sph_packed)
+            stat = pk_np[sph_n_moving_pad : sph_n_moving_pad + sph_n_static]
+            cc = np.sum(stat[:, 0:3].astype(np.float64) ** 2, axis=1)
+            r2 = stat[:, 8].astype(np.float64)
+            sph_expand = bool(np.all((cc + 1.0) * 6.0 * 2.0**-23 < 0.01 * r2))
+        else:
+            sph_expand = False
         tables = dataclasses.replace(
             tables,
             sph_packed=sph_packed,
             sph_n_moving_pad=sph_n_moving_pad,
             sph_n_static=sph_n_static,
+            sph_expand=sph_expand,
             quad_packed=pack_quads(tables),
             box_packed=pack_boxes(tables),
         )

@@ -135,7 +135,7 @@ class SceneTables:
     atlas: ImageAtlas
 
     # ---- kernel-packed copies (built once at compile; see ops/pallas_kernels) ----
-    sph_packed: jnp.ndarray  # (S, 9)  [cx cy cz vx vy vz radius mat r2]
+    sph_packed: jnp.ndarray  # (S, 10) [cx cy cz vx vy vz radius mat r2 K]
     quad_packed: jnp.ndarray  # (Q, 12)
     box_packed: jnp.ndarray  # (B, 12)
     # Cluster-culling copies (BVH-leaf order + per-cluster AABBs; the
@@ -184,6 +184,10 @@ class SceneTables:
     # moving-block size and real static count for the split kernel loops.
     sph_n_moving_pad: int = _static()
     sph_n_static: int = _static()
+    # Expanded-quadratic static sphere loop (pack_spheres col 9): enabled
+    # when the worst-case cancellation error (|c|^2+1)*6*2^-23 stays below
+    # 1% of r^2 for every static sphere (builder gate).
+    sph_expand: bool = _static()
     # Regular-grid box field (builder.detect_box_grid): when every box in
     # the scene is an unrotated AABB on one (Kx, Kz) footprint grid with a
     # shared floor, the shared-slab grid kernel replaces the brute scan.
@@ -249,7 +253,7 @@ def empty_tables() -> dict:
         tex_child=_z((1, 2), jnp.int32),
         tex_img=_z((1,), jnp.int32),
         atlas=ImageAtlas.empty(),
-        sph_packed=_z((1, 9)),
+        sph_packed=_z((1, 10)),
         quad_packed=_z((1, 12)),
         box_packed=_z((1, 12)),
         sph_cl_packed=_z((1, 8)),
@@ -280,6 +284,7 @@ def empty_tables() -> dict:
         mxu_sphere_pad=0,
         sph_n_moving_pad=0,
         sph_n_static=0,
+        sph_expand=False,
         box_grid_kx=0,
         box_grid_kz=0,
         box_grid_x0=0.0,

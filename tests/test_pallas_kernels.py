@@ -93,6 +93,59 @@ def test_sphere_kernel_matches_jnp_candidates():
     )
 
 
+def test_sphere_kernel_expanded_matches_standard():
+    """The expanded-quadratic static loop (pack_spheres col 9, builder
+    sph_expand gate) must agree with the jnp reference path to the same
+    tiers as the standard form — hit sets identical, t within fp slack."""
+    tables = build_scene("bouncing_spheres", 64, 32).tables
+    assert tables.sph_expand, "bouncing must pass the expansion safety gate"
+    o, d, tm = _ray_batch(5, RB)
+
+    t_e, n_e, _, _, mat_e = pk.sphere_hit_attrs_planar(
+        tables.sph_packed, o, d, tm,
+        n_moving=tables.sph_n_moving_pad, n_static=tables.sph_n_static,
+        needs_uv=False, expand=True, interpret=True,
+    )
+    t_j, idx_j = intersect.sphere_candidates_p(tables, o, d, tm, T_MIN)
+    n_j, _, _, mat_j = intersect.sphere_attributes_p(
+        tables, o, d, tm, t_j, idx_j, needs_uv=False
+    )
+
+    hit = _hit_mask(t_j)
+    hit_e = _hit_mask(t_e)
+    # expanded rounding may flip a few grazing hits; sets must agree ~exactly
+    assert (hit_e == hit).mean() > 0.999
+    both = hit & hit_e
+    tight = _assert_two_tier(
+        np.asarray(t_e)[both], np.asarray(t_j)[both],
+        tight_rtol=1e-4, tight_atol=1e-4, frac=0.97,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mat_e)[both][tight], np.asarray(mat_j)[both][tight]
+    )
+    for c in range(3):
+        # atol 1e-2: grazing lanes that pass the t tier can still amplify
+        # the expansion's rounding into ~1e-2 normal shifts (observed: 1
+        # lane in 5268 at 8e-3)
+        np.testing.assert_allclose(
+            np.asarray(n_e[c])[both][tight], np.asarray(n_j[c])[both][tight],
+            rtol=1e-3, atol=1e-2,
+        )
+
+
+def test_expansion_gate_rejects_small_far_spheres():
+    """A tiny sphere far from the origin must disable the expansion (its
+    cancellation error would exceed 1% of r^2)."""
+    from art_tpu.scene.builder import SceneBuilder
+    from art_tpu.scene import materials as M, objects as O
+
+    b = SceneBuilder()
+    b.add(O.Sphere((5000.0, 0.0, 0.0), 0.05, M.Lambertian((0.5, 0.5, 0.5))))
+    b.set_camera(lookfrom=(0, 0, 10), lookat=(0, 0, 0), vup=(0, 1, 0),
+                 vfov_degrees=40.0, aspect=1.0, aperture=0.0, focus_dist=10.0)
+    assert not b.compile().tables.sph_expand
+
+
 def test_sphere_kernel_inside_hits_use_far_root():
     """Rays from inside a sphere: the t2 fallback paths must agree
     (jnp gates t1/t2 separately; the kernel selects then masks)."""
