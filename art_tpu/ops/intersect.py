@@ -127,6 +127,11 @@ _NO_GRID_BOXES = bool(os.environ.get("ART_TPU_NO_GRID_BOXES"))
 _NO_SPH_EXPAND = bool(os.environ.get("ART_TPU_NO_SPH_EXPAND"))
 _FORCE_SPH_EXPAND = bool(os.environ.get("ART_TPU_SPH_EXPAND"))
 _SPH_EXPAND_MIN_STATIC = 768
+# A/B switches for the constant-attribute tail loop and the positive-
+# radius carry cut (pack_spheres / _sphere_kernel); both default ON when
+# the builder gates say they apply.
+_NO_SPH_TAIL = bool(os.environ.get("ART_TPU_NO_SPH_TAIL"))
+_NO_SPH_POS_R = bool(os.environ.get("ART_TPU_NO_SPH_POS_R"))
 # Per-ray BVH descent for spheres (opt-in): the direct analog of the
 # reference's log-n bvh_node::hit (src/bvh.cuh:95-106).  Measured on v5e
 # it loses by an order of magnitude to the brute-force vector kernels —
@@ -137,6 +142,20 @@ _SPH_EXPAND_MIN_STATIC = 768
 # lattice grid kernel.  This flag exists to measure that claim end-to-end
 # and to keep the reference's traversal wired through the render path.
 _BVH_ENV = bool(os.environ.get("ART_TPU_BVH"))
+# Per-primitive perf-debug ablation stubs (ART_TPU_DBG=fake_spheres /
+# fake_boxes / fake_quads / fake_media): replace one candidate pass with
+# cheap dependency-preserving arithmetic so the remaining passes' in-loop
+# cost can be read off a t_iter A/B.  Wrong image, measurement only —
+# same contract as integrator's fake_intersect/fake_shade.
+_DBG = os.environ.get("ART_TPU_DBG", "")
+
+
+def _fake_candidates(o, d, tm):
+    """Dependency-preserving stub pass: (t, normal, u, v, mat) from cheap
+    arithmetic that XLA cannot fold away (depends on o, d, tm)."""
+    t = jnp.abs(o[0] * 1e-6 + d[0]) + 5.0 + tm * 0.0
+    z = jnp.zeros_like(t)
+    return t, (z + 1.0, z, z), z, z, jnp.zeros(t.shape, jnp.int32)
 
 
 def _no_cluster() -> bool:
@@ -463,7 +482,13 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
     if use_pallas:
         from art_tpu.ops import pallas_kernels as pk
 
-    if tables.n_spheres:
+    if tables.n_spheres and "fake_spheres" in _DBG:
+        t_s, n_s, u_s, v_s, m_s = _fake_candidates(o, d, time)
+        sph_attrs = (n_s, u_s, v_s, m_s)
+        better = t_s < t_best
+        t_best = jnp.where(better, t_s, t_best)
+        winner = jnp.where(better, 0, winner)
+    elif tables.n_spheres:
         if _BVH_ENV and tables.n_sph_bvh_nodes:
             # opt-in per-ray BVH descent (reference-style traversal);
             # winner attributes via the idx gather path below
@@ -493,6 +518,10 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                         _FORCE_SPH_EXPAND
                         or tables.sph_n_static >= _SPH_EXPAND_MIN_STATIC
                     ),
+                    n_tail=0 if _NO_SPH_TAIL else tables.sph_n_tail,
+                    tail_r=tables.sph_tail_r,
+                    tail_mat=tables.sph_tail_mat,
+                    pos_r=tables.sph_pos_r and not _NO_SPH_POS_R,
                 )
             sph_attrs = (n_s, u_s, v_s, m_s)
         else:
@@ -501,7 +530,9 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
         t_best = jnp.where(better, t_s, t_best)
         winner = jnp.where(better, 0, winner)
     if tables.n_quads:
-        if use_pallas:
+        if "fake_quads" in _DBG:
+            t_q, *_ = _fake_candidates(o, d, time)
+        elif use_pallas:
             t_q, idx_q = pk.quad_closest_hit_planar(
                 tables.quad_packed, o, d, n_quads=tables.n_quads
             )
@@ -512,7 +543,13 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
         t_best = jnp.where(better, t_q, t_best)
         winner = jnp.where(better, 1, winner)
     box_attrs = None
-    if tables.n_boxes:
+    if tables.n_boxes and "fake_boxes" in _DBG:
+        t_b, n_b, u_b, v_b, m_b = _fake_candidates(o, d, time)
+        box_attrs = (n_b, u_b, v_b, m_b)
+        better = t_b < t_best
+        t_best = jnp.where(better, t_b, t_best)
+        winner = jnp.where(better, 2, winner)
+    elif tables.n_boxes:
         if use_pallas:
             if tables.n_box_clusters and not _no_cluster():
                 t_b, n_b, u_b, v_b, m_b = pk.box_hit_attrs_clustered(
@@ -683,6 +720,9 @@ def apply_media_p(
     """
     if not tables.n_media:
         return surf
+    if "fake_media" in _DBG:  # perf-debug: dependency-preserving stub
+        t_f = surf.t + jnp.abs(u_media[0]) * 1e-7
+        return surf._replace(t=t_f)
 
     R = o[0].shape[0]
     if time is None:

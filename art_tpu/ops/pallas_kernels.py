@@ -38,7 +38,9 @@ _SPH_UNROLL = int(__import__("os").environ.get("ART_TPU_SPH_UNROLL", "32"))
 def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    tm_ref, t_ref, nx_ref, ny_ref, nz_ref, mat_ref,
                    *, n_static: int, t_min: float, n_moving: int,
-                   expand: bool = False):
+                   expand: bool = False, n_tail: int = 0,
+                   tail_r: float = 1.0, tail_mat: float = 0.0,
+                   pos_r: bool = False):
     """Closest sphere hit with winner attributes computed in-kernel.
 
     Carrying the winning sphere's (time-evaluated) center/radius/material
@@ -53,6 +55,20 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     rows plus inert tail padding; the scan runs as two loops so static
     spheres skip the center-motion FMAs entirely (mixed scenes like
     final_scene are 1006/1007 static).
+
+    Two further op/load cuts (both builder-gated, measured for
+    final_scene's 1000-ball cluster — docs/PERF_NOTES.md r2):
+
+    * ``pos_r``: when every scene radius is positive the signed radius
+      never flips a normal, so the carry drops the per-sphere ``r``
+      load + select and the normal is normalized post-loop with one
+      rsqrt (the reference normal (p-c)/r is unit up to fp anyway).
+    * ``n_tail``: pack_spheres sorts the largest (radius, material)-
+      uniform static group to the end of the static segment; those
+      rows run in a third loop whose carry is just (t, cx, cy, cz) —
+      radius/material are compile-time constants merged in once after
+      the loops.  2 fewer scalar loads and 1-2 fewer selects per
+      sphere on the dominant segment.
     """
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -62,16 +78,17 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     neg_inv_a = -1.0 / a
     ta2 = -t_min * a  # t1 > t_min  <=>  (b + sq) < ta2  (a > 0)
 
+    carry_r = not pos_r
     zeros = jnp.zeros(ox.shape, jnp.float32)
     init = (
-        jnp.full(ox.shape, BIG, jnp.float32),  # t
-        zeros, zeros, zeros,  # center at ray time
-        jnp.full(ox.shape, 1.0, jnp.float32),  # radius
-        zeros,  # material id (as f32)
+        (jnp.full(ox.shape, BIG, jnp.float32),)  # t
+        + (zeros, zeros, zeros)  # center at ray time
+        + ((jnp.full(ox.shape, 1.0, jnp.float32),) if carry_r else ())
+        + (zeros,)  # material id (as f32)
     )
 
-    def candidate(s, moving):
-        """(t, cx, cy, cz, r, m) for sphere s against the whole block.
+    def _roots(b, c):
+        """Candidate t from quadratic coefficients (shared by all forms).
 
         Misses are rejected by NaN propagation: disc < 0 makes sqrt(disc)
         NaN, which flows through to ``cand`` and fails every comparison in
@@ -79,10 +96,18 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         compare, and an AND per sphere.  One semantic hair vs the jnp
         reference: an exactly-zero discriminant (true tangent, measure-zero
         under fp) is accepted here and rejected there."""
+        disc = b * b - a * c
+        sq = jnp.sqrt(disc)  # NaN on miss, by design
+        # fused t1/t2 fallback: t = (-b - sign*sq)/a with the near root
+        # taken when t1 > t_min, i.e. (b + sq) < -t_min*a
+        s2 = jnp.where(b + sq < ta2, sq, -sq)
+        return (b + s2) * neg_inv_a
+
+    def candidate(s, moving):
+        """Main-carry candidate (t, cx, cy, cz[, r], m) for sphere s."""
         cx = sph_ref[s, 0]
         cy = sph_ref[s, 1]
         cz = sph_ref[s, 2]
-        r = sph_ref[s, 6]
         m = sph_ref[s, 7]
         r2 = sph_ref[s, 8]
         if moving:
@@ -94,13 +119,10 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         ocz = oz - cz
         b = ocx * dx + ocy * dy + ocz * dz
         c = ocx * ocx + ocy * ocy + ocz * ocz - r2
-        disc = b * b - a * c
-        sq = jnp.sqrt(disc)  # NaN on miss, by design
-        # fused t1/t2 fallback: t = (-b - sign*sq)/a with the near root
-        # taken when t1 > t_min, i.e. (b + sq) < -t_min*a
-        s2 = jnp.where(b + sq < ta2, sq, -sq)
-        cand = (b + s2) * neg_inv_a
-        return cand, cx, cy, cz, r, m
+        cand = _roots(b, c)
+        if carry_r:
+            return cand, cx, cy, cz, sph_ref[s, 6], m
+        return cand, cx, cy, cz, m
 
     if expand:
         # expanded-quadratic static form: b = o.d - c.d,
@@ -112,40 +134,54 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         od = ox * dx + oy * dy + oz * dz
         ox2, oy2, oz2 = 2.0 * ox, 2.0 * oy, 2.0 * oz
 
+        def _expand_bc(cx, cy, cz, K):
+            b = od - (cx * dx + cy * dy + cz * dz)  # == oc.d
+            c = (oo + K) - (cx * ox2 + cy * oy2 + cz * oz2)  # == |oc|^2-r^2
+            return b, c
+
         def candidate_static(s):
             cx = sph_ref[s, 0]
             cy = sph_ref[s, 1]
             cz = sph_ref[s, 2]
-            r = sph_ref[s, 6]
             m = sph_ref[s, 7]
-            K = sph_ref[s, 9]
-            b = od - (cx * dx + cy * dy + cz * dz)  # == oc.d
-            c = (oo + K) - (cx * ox2 + cy * oy2 + cz * oz2)  # == |oc|^2 - r^2
-            disc = b * b - a * c
-            sq = jnp.sqrt(disc)  # NaN on miss
-            s2 = jnp.where(b + sq < ta2, sq, -sq)
-            cand = (b + s2) * neg_inv_a
-            return cand, cx, cy, cz, r, m
+            b, c = _expand_bc(cx, cy, cz, sph_ref[s, 9])
+            cand = _roots(b, c)
+            if carry_r:
+                return cand, cx, cy, cz, sph_ref[s, 6], m
+            return cand, cx, cy, cz, m
+
+        def candidate_tail(s):
+            cx = sph_ref[s, 0]
+            cy = sph_ref[s, 1]
+            cz = sph_ref[s, 2]
+            b, c = _expand_bc(cx, cy, cz, sph_ref[s, 9])
+            return _roots(b, c), cx, cy, cz
     else:
         def candidate_static(s):
             return candidate(s, False)
 
+        def candidate_tail(s):
+            # r2 stays a per-row load: pad rows reject via r2 = -1
+            # (a compile-time r2 would need un-rejectable pad centers)
+            cx = sph_ref[s, 0]
+            cy = sph_ref[s, 1]
+            cz = sph_ref[s, 2]
+            r2 = sph_ref[s, 8]
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+            return _roots(b, c), cx, cy, cz
+
     def update(carry, cand):
-        best_t, bcx, bcy, bcz, br, bm = carry
-        t, cx, cy, cz, r, m = cand
-        better = (t > t_min) & (t < best_t)  # false on NaN (miss)
-        return (
-            jnp.where(better, t, best_t),
-            jnp.where(better, cx, bcx),
-            jnp.where(better, cy, bcy),
-            jnp.where(better, cz, bcz),
-            jnp.where(better, r, br),
-            jnp.where(better, m, bm),
-        )
+        # carry/cand: (t, cx, cy, cz[, r][, m]) — parallel layouts
+        better = (cand[0] > t_min) & (cand[0] < carry[0])  # false on NaN
+        return tuple(jnp.where(better, n, c) for n, c in zip(cand, carry))
 
     # unrolled to amortize the fori_loop backedge overhead (~1.2 us per
-    # iteration measured on v5e — scripts/exp_unroll.py); both table
-    # segments are padded to a multiple of 32 by pack_spheres
+    # iteration measured on v5e — scripts/exp_unroll.py); every table
+    # segment is padded to an UNROLL multiple by pack_spheres
     UNROLL = _SPH_UNROLL
 
     def body_moving(i, carry):
@@ -160,24 +196,69 @@ def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             carry = update(carry, candidate_static(s + k))
         return carry
 
+    # Static split: the main loop covers the first n_static - n_tail real
+    # rows rounded UP to UNROLL (the overlap rows are real tail spheres —
+    # processing them with the full update is correct, just unsplit); the
+    # tail loop covers the rest of the padded static segment.
+    n_main_real = n_static - n_tail
+    n_main = min(
+        -(-n_main_real // UNROLL) * UNROLL if n_main_real else 0,
+        -(-n_static // UNROLL) * UNROLL,
+    )
+    n_tail_rows = -(-n_static // UNROLL) * UNROLL - n_main
+
+    def body_tail(i, carry):
+        s = n_moving + n_main + i * UNROLL
+        for k in range(UNROLL):
+            carry = update(carry, candidate_tail(s + k))
+        return carry
+
     carry = init
     if n_moving:
         carry = jax.lax.fori_loop(0, n_moving // UNROLL, body_moving, carry)
-    if n_static > 0:
-        nu = (n_static + UNROLL - 1) // UNROLL
-        carry = jax.lax.fori_loop(0, nu, body_static, carry)
-    best_t, bcx, bcy, bcz, br, bm = carry
+    if n_main:
+        carry = jax.lax.fori_loop(0, n_main // UNROLL, body_static, carry)
+    if n_tail_rows:
+        zt = (jnp.full(ox.shape, BIG, jnp.float32), zeros, zeros, zeros)
+        tc = jax.lax.fori_loop(0, n_tail_rows // UNROLL, body_tail, zt)
+        t2, cx2, cy2, cz2 = tc
+        better = t2 < carry[0]  # both loops honor t_min already
+        merged = [
+            jnp.where(better, t2, carry[0]),
+            jnp.where(better, cx2, carry[1]),
+            jnp.where(better, cy2, carry[2]),
+            jnp.where(better, cz2, carry[3]),
+        ]
+        if carry_r:
+            merged.append(jnp.where(better, tail_r, carry[4]))
+        merged.append(jnp.where(better, tail_mat, carry[-1]))
+        carry = tuple(merged)
+
+    best_t, bcx, bcy, bcz = carry[:4]
+    bm = carry[-1]
 
     # winner attributes (src/sphere.cuh:69-86); garbage on miss lanes, which
     # the caller blends out by hit mask
-    inv_r = 1.0 / br
-    nx = (ox + best_t * dx - bcx) * inv_r
-    ny = (oy + best_t * dy - bcy) * inv_r
-    nz = (oz + best_t * dz - bcz) * inv_r
+    if not carry_r:
+        # miss lanes have best_t = BIG whose |p|^2 overflows f32 inside
+        # the rsqrt below; clamp t for the (masked-out) normal only —
+        # t_ref still gets the unclamped best_t
+        t_n = jnp.minimum(best_t, 1e18)
+    else:
+        t_n = best_t
+    px = ox + t_n * dx - bcx
+    py = oy + t_n * dy - bcy
+    pz = oz + t_n * dz - bcz
+    if carry_r:
+        inv_r = 1.0 / carry[4]
+    else:
+        # all radii positive: (p-c)/r == unit(p-c) up to fp; one rsqrt
+        # replaces the per-sphere r carry + select
+        inv_r = jax.lax.rsqrt(px * px + py * py + pz * pz)
     t_ref[:] = best_t
-    nx_ref[:] = nx
-    ny_ref[:] = ny
-    nz_ref[:] = nz
+    nx_ref[:] = px * inv_r
+    ny_ref[:] = py * inv_r
+    nz_ref[:] = pz * inv_r
     mat_ref[:] = bm.astype(jnp.int32)
 
 
@@ -201,6 +282,10 @@ def sphere_hit_attrs_planar(
     n_static: int,  # real static count (pack_spheres)
     needs_uv: bool,
     expand: bool = False,  # expanded-quadratic static loop (builder-gated)
+    n_tail: int = 0,  # uniform (r, mat) static tail count (pack_spheres)
+    tail_r: float = 1.0,
+    tail_mat: float = 0.0,
+    pos_r: bool = False,  # every scene radius positive (builder-gated)
     interpret: bool = False,
 ):
     """Per-ray closest sphere hit with attributes:
@@ -219,7 +304,8 @@ def sphere_hit_attrs_planar(
     t, nx, ny, nz, mat = pl.pallas_call(
         functools.partial(
             _sphere_kernel, n_static=n_static, t_min=1e-3, n_moving=n_moving,
-            expand=expand,
+            expand=expand, n_tail=n_tail, tail_r=tail_r, tail_mat=tail_mat,
+            pos_r=pos_r,
         ),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
@@ -667,18 +753,27 @@ def _sphere_rows(tables):
     return rows
 
 
-def pack_spheres(tables) -> tuple[jnp.ndarray, int, int]:
+# Minimum size of a (radius, material)-uniform static group for the
+# kernel's constant-attribute tail loop to be worth a third fori_loop.
+_TAIL_MIN = 192
+
+
+def pack_spheres(tables) -> tuple[jnp.ndarray, int, int, tuple]:
     """Kernel-ordered sphere table: [cx cy cz vx vy vz radius mat r2 K].
 
-    Returns (packed (Sm_pad + Ss_pad, 10), n_moving_pad, n_static) with
-    moving spheres sorted to the front so the kernel's static loop skips
-    the center-motion FMAs.  The reorder is invisible outside the kernel —
-    winner attributes come out of the kernel itself, the jnp reference path
-    indexes the unordered ``tables.sph_*`` columns.
+    Returns (packed (Sm_pad + Ss_pad, 10), n_moving_pad, n_static,
+    (n_tail, tail_r, tail_mat, pos_r)) with moving spheres sorted to the
+    front so the kernel's static loop skips the center-motion FMAs, and
+    the largest (radius, material)-uniform static group (>= _TAIL_MIN
+    rows, e.g. final_scene's 1000-ball cluster) sorted to the END of the
+    static rows for the kernel's constant-attribute tail loop.  The
+    reorder is invisible outside the kernel — winner attributes come out
+    of the kernel itself, the jnp reference path indexes the unordered
+    ``tables.sph_*`` columns.
 
     Column 8 is the precomputed r*r the kernel's quadratic uses (column 6
     keeps the SIGNED radius for the hollow-glass normal flip).  Each
-    segment is padded to a multiple of 16 for the unrolled loop; pad rows
+    segment is padded to a multiple of max(32, ART_TPU_SPH_UNROLL); pad rows
     get r2 = -1 so disc = (oc.d)^2 - |d|^2(|oc|^2 + 1) < 0 strictly
     (Cauchy-Schwarz) and the NaN-reject can never accept them.
 
@@ -693,8 +788,24 @@ def pack_spheres(tables) -> tuple[jnp.ndarray, int, int]:
     rows = _sphere_rows(tables)
     is_moving = np.any(rows[:, 3:6] != 0.0, axis=1)
     mov, stat = rows[is_moving], rows[~is_moving]
-    sm_pad = -(-len(mov) // 32) * 32 if len(mov) else 0
-    ss_pad = -(-len(stat) // 32) * 32
+    pos_r = bool(np.all(rows[:, 6] > 0.0)) if len(rows) else True
+    # Largest (radius, material)-uniform static group -> tail position.
+    n_tail, tail_r, tail_mat = 0, 1.0, 0.0
+    if len(stat) >= _TAIL_MIN:
+        keys, counts = np.unique(stat[:, 6:8], axis=0, return_counts=True)
+        k = int(np.argmax(counts))
+        if counts[k] >= _TAIL_MIN:
+            tail_r, tail_mat = float(keys[k, 0]), float(keys[k, 1])
+            sel = (stat[:, 6] == tail_r) & (stat[:, 7] == tail_mat)
+            stat = np.concatenate([stat[~sel], stat[sel]], axis=0)
+            n_tail = int(counts[k])
+    # Pad each segment to a multiple of the kernel unroll: the moving
+    # loop's n_moving // UNROLL bound silently DROPS real rows if the pad
+    # is finer than UNROLL, and the static loop's ceil bound reads up to
+    # the next UNROLL multiple (out of the array if the pad is finer).
+    pad = max(32, _SPH_UNROLL)
+    sm_pad = -(-len(mov) // pad) * pad if len(mov) else 0
+    ss_pad = -(-len(stat) // pad) * pad
     out = np.zeros((sm_pad + ss_pad, 10), np.float32)
     out[:, 8] = -1.0
     out[:, 9] = 1e30
@@ -707,7 +818,7 @@ def pack_spheres(tables) -> tuple[jnp.ndarray, int, int]:
     out[real, 9] = (np.sum(c * c, axis=1) - out[real, 8].astype(np.float64)).astype(
         np.float32
     )
-    return jnp.asarray(out), sm_pad, len(stat)
+    return jnp.asarray(out), sm_pad, len(stat), (n_tail, tail_r, tail_mat, pos_r)
 
 
 # ---------------------------------------------------------------------------

@@ -598,7 +598,10 @@ class _Compiler:
             pack_spheres,
         )
 
-        sph_packed, sph_n_moving_pad, sph_n_static = pack_spheres(tables)
+        (sph_packed, sph_n_moving_pad, sph_n_static,
+         (sph_n_tail, sph_tail_r, sph_tail_mat, sph_pos_r)) = pack_spheres(
+            tables
+        )
         # Expanded-quadratic gate (ops/pallas_kernels._sphere_kernel): the
         # expansion c' = |o|^2 - 2 o.c + (|c|^2 - r^2) cancels its large
         # terms when the ray origin sits ON the sphere (every scattered
@@ -618,6 +621,10 @@ class _Compiler:
             sph_packed=sph_packed,
             sph_n_moving_pad=sph_n_moving_pad,
             sph_n_static=sph_n_static,
+            sph_n_tail=sph_n_tail,
+            sph_tail_r=sph_tail_r,
+            sph_tail_mat=sph_tail_mat,
+            sph_pos_r=sph_pos_r,
             sph_expand=sph_expand,
             quad_packed=pack_quads(tables),
             box_packed=pack_boxes(tables),

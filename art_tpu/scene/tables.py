@@ -184,6 +184,17 @@ class SceneTables:
     # moving-block size and real static count for the split kernel loops.
     sph_n_moving_pad: int = _static()
     sph_n_static: int = _static()
+    # Constant-attribute static tail (pack_spheres): the largest
+    # (radius, material)-uniform static group (>= 192 rows) sorted to the
+    # end of the static segment; the kernel's tail loop drops its radius/
+    # material loads + selects (final_scene's 1000-ball cluster).
+    sph_n_tail: int = _static()
+    sph_tail_r: float = _static()
+    sph_tail_mat: float = _static()
+    # True when every sphere radius in the scene is positive (no hollow
+    # glass): the kernel drops the signed-radius carry and normalizes the
+    # winner normal with one rsqrt instead.
+    sph_pos_r: bool = _static()
     # Expanded-quadratic static sphere loop (pack_spheres col 9): enabled
     # when the worst-case cancellation error (|c|^2+1)*6*2^-23 stays below
     # 1% of r^2 for every static sphere (builder gate).
@@ -284,6 +295,10 @@ def empty_tables() -> dict:
         mxu_sphere_pad=0,
         sph_n_moving_pad=0,
         sph_n_static=0,
+        sph_n_tail=0,
+        sph_tail_r=1.0,
+        sph_tail_mat=0.0,
+        sph_pos_r=False,
         sph_expand=False,
         box_grid_kx=0,
         box_grid_kz=0,

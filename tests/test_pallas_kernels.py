@@ -133,6 +133,58 @@ def test_sphere_kernel_expanded_matches_standard():
         )
 
 
+def test_sphere_kernel_tail_and_pos_r_match_baseline_kernel():
+    """final_scene: the 1000-ball uniform cluster triggers the constant-
+    attribute tail loop, and the all-positive radii trigger the pos_r
+    carry cut (radius recovered via one rsqrt).  Both are pure carry/load
+    restructurings of the SAME candidate math, so they must reproduce the
+    baseline (expand-only) kernel near-exactly — hits and materials
+    identical, t bit-comparable, normals within the one extra
+    normalization rounding.  (A direct jnp comparison would only re-test
+    the expanded quadratic's known grazing-ray slack at this scene's
+    coordinate scale — identical tight-fraction measured with and without
+    the tail/pos_r paths.)"""
+    tables = build_scene("final_scene", 64, 32).tables
+    assert tables.sph_n_tail >= 900, "cluster should be tail-grouped"
+    assert tables.sph_pos_r, "final_scene has no hollow glass"
+    o, d, tm = _ray_batch(
+        7, RB, origin_span=700.0, origin_center=(250.0, 250.0, 200.0)
+    )
+
+    base = dict(
+        n_moving=tables.sph_n_moving_pad, n_static=tables.sph_n_static,
+        needs_uv=True, expand=True, interpret=True,
+    )
+    t_0, n_0, u_0, v_0, mat_0 = pk.sphere_hit_attrs_planar(
+        tables.sph_packed, o, d, tm, **base
+    )
+    t_k, n_k, u_k, v_k, mat_k = pk.sphere_hit_attrs_planar(
+        tables.sph_packed, o, d, tm,
+        n_tail=tables.sph_n_tail, tail_r=tables.sph_tail_r,
+        tail_mat=tables.sph_tail_mat, pos_r=True, **base,
+    )
+
+    hit = _hit_mask(t_0)
+    assert hit.any() and (~hit).any(), "batch should mix hits and misses"
+    np.testing.assert_array_equal(_hit_mask(t_k), hit)
+    # tail-loop winners must actually occur for this to test anything
+    assert (np.asarray(mat_k)[hit] == int(tables.sph_tail_mat)).any()
+    np.testing.assert_array_equal(np.asarray(mat_k)[hit], np.asarray(mat_0)[hit])
+    np.testing.assert_allclose(
+        np.asarray(t_k)[hit], np.asarray(t_0)[hit], rtol=1e-6, atol=1e-6
+    )
+    for c in range(3):
+        # pos_r normalizes unit(p - c) while the baseline divides by r; a
+        # grazing hit point sits ~1e-3 r off the sphere, so the two can
+        # differ by that much (the unit form is the more exact one)
+        np.testing.assert_allclose(
+            np.asarray(n_k[c])[hit], np.asarray(n_0[c])[hit],
+            rtol=1e-3, atol=2e-3,
+        )
+    np.testing.assert_allclose(np.asarray(u_k)[hit], np.asarray(u_0)[hit], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v_k)[hit], np.asarray(v_0)[hit], atol=1e-3)
+
+
 def test_expansion_gate_rejects_small_far_spheres():
     """A tiny sphere far from the origin must disable the expansion (its
     cancellation error would exceed 1% of r^2)."""
