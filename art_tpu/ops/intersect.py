@@ -118,6 +118,9 @@ _MXU_SPHERES = bool(os.environ.get("ART_TPU_MXU_SPHERES"))
 # Grid-box field kernel (pallas_kernels.box_grid_hit_attrs): default-on
 # when the builder detected a lattice (tables.box_grid_kx > 0).
 _NO_GRID_BOXES = bool(os.environ.get("ART_TPU_NO_GRID_BOXES"))
+# Looped grid kernel instead of the fully-static (compile-time cell
+# table) form; A/B switch for the static unroll + height grouping.
+_NO_GRID_STATIC = bool(os.environ.get("ART_TPU_NO_GRID_STATIC"))
 # Expanded-quadratic static sphere loop (pack_spheres col 9): the builder
 # gates it by coordinate scale (sph_expand); on top of that it only WINS
 # past ~1k static spheres (v5e A/B: final_scene 55.2 -> 56.7 at 1008, but
@@ -558,12 +561,22 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                     rotated=tables.has_rotated_boxes,
                 )
             elif tables.box_grid_kx and not _NO_GRID_BOXES:
-                t_b, n_b, u_b, v_b, m_b = pk.box_grid_hit_attrs(
-                    tables.box_grid, o, d,
-                    kx=tables.box_grid_kx, kz=tables.box_grid_kz,
-                    x0=tables.box_grid_x0, z0=tables.box_grid_z0,
-                    w=tables.box_grid_w, y0=tables.box_grid_y0,
-                )
+                if tables.box_grid_cells is not None and not _NO_GRID_STATIC:
+                    t_b, n_b, u_b, v_b, m_b = pk.box_grid_static_hit_attrs(
+                        o, d, cells=tables.box_grid_cells,
+                        kx=tables.box_grid_kx, kz=tables.box_grid_kz,
+                        x0=tables.box_grid_x0, z0=tables.box_grid_z0,
+                        w=tables.box_grid_w, y0=tables.box_grid_y0,
+                        uniform_mat=tables.box_grid_mat,
+                    )
+                else:
+                    t_b, n_b, u_b, v_b, m_b = pk.box_grid_hit_attrs(
+                        tables.box_grid, o, d,
+                        kx=tables.box_grid_kx, kz=tables.box_grid_kz,
+                        x0=tables.box_grid_x0, z0=tables.box_grid_z0,
+                        w=tables.box_grid_w, y0=tables.box_grid_y0,
+                        uniform_mat=tables.box_grid_mat,
+                    )
             else:
                 t_b, n_b, u_b, v_b, m_b = pk.box_hit_attrs_planar(
                     tables.box_packed, o, d,

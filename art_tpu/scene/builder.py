@@ -143,6 +143,21 @@ def _detect_box_grid(tables: SceneTables) -> SceneTables:
     grid[:, :, 0] = y0  # empty cells: zero height, inert
     grid[kxs, kzs, 0] = mx[:, 1]
     grid[kxs, kzs, 1] = np.asarray(tables.box_mat, np.float32)
+    # Compile-time cell grouping for the fully-static kernel: cells
+    # sharing a (height, material) share one y-slab computation.  Gated
+    # by unroll size (ops ~ 14 per cell; 1024 cells keeps the kernel body
+    # comparable to the 32x-unrolled sphere loop).
+    cells = None
+    if B <= 1024:
+        groups: dict = {}
+        for b in range(B):
+            key = (float(mx[b, 1]), float(tables.box_mat[b]))
+            groups.setdefault(key, []).append((int(kxs[b]), int(kzs[b])))
+        cells = tuple(
+            sorted(
+                (h, m, tuple(sorted(g))) for (h, m), g in groups.items()
+            )
+        )
     return dataclasses.replace(
         tables,
         box_grid=jnp.asarray(grid),
@@ -152,6 +167,12 @@ def _detect_box_grid(tables: SceneTables) -> SceneTables:
         box_grid_z0=float(gz0),
         box_grid_w=float(w),
         box_grid_y0=float(y0),
+        box_grid_mat=(
+            float(tables.box_mat[0])
+            if np.all(np.asarray(tables.box_mat) == tables.box_mat[0])
+            else -1.0
+        ),
+        box_grid_cells=cells,
     )
 
 

@@ -209,6 +209,16 @@ class SceneTables:
     box_grid_z0: float = _static()
     box_grid_w: float = _static()
     box_grid_y0: float = _static()
+    # Shared material id when EVERY grid box uses one material (the
+    # reference ground field, src/main.cu:509-514): the grid kernel drops
+    # the per-cell material load + select.  -1.0 = mixed materials.
+    box_grid_mat: float = _static()
+    # Compile-time cell table for the fully-static grid kernel
+    # (pallas_kernels._box_grid_static_kernel): ((height, mat,
+    # ((ix, iz), ...)), ...) grouped by (height, mat) so the y-slab is
+    # computed once per distinct height.  None = use the looped kernel
+    # (grid too large to unroll).
+    box_grid_cells: tuple | None = _static()
 
 
 def _z(shape, dtype=jnp.float32):
@@ -306,4 +316,6 @@ def empty_tables() -> dict:
         box_grid_z0=0.0,
         box_grid_w=1.0,
         box_grid_y0=0.0,
+        box_grid_mat=-1.0,
+        box_grid_cells=None,
     )

@@ -338,6 +338,94 @@ def test_box_grid_kernel_matches_brute():
     agree &= np.isclose(np.asarray(v_g)[hit], np.asarray(v_b)[hit], atol=1e-3)
     assert agree.mean() > 0.99, agree.mean()
 
+    # final_scene's ground boxes share one material -> the builder gates
+    # the constant-material kernel form; it must be bit-identical to the
+    # mixed-material form (same candidate math, one fewer carry).
+    assert tables.box_grid_mat >= 0.0
+    t_u, n_u, u_u, v_u, m_u = pk.box_grid_hit_attrs(
+        tables.box_grid, o, d,
+        kx=tables.box_grid_kx, kz=tables.box_grid_kz,
+        x0=tables.box_grid_x0, z0=tables.box_grid_z0,
+        w=tables.box_grid_w, y0=tables.box_grid_y0,
+        uniform_mat=tables.box_grid_mat, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(t_u), np.asarray(t_g))
+    np.testing.assert_array_equal(np.asarray(m_u)[hit], np.asarray(m_g)[hit])
+    for c in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(n_u[c])[hit], np.asarray(n_g[c])[hit]
+        )
+    np.testing.assert_array_equal(np.asarray(u_u)[hit], np.asarray(u_g)[hit])
+    np.testing.assert_array_equal(np.asarray(v_u)[hit], np.asarray(v_g)[hit])
+    # final_scene must bake the compile-time cell table (the static kernel
+    # is the production path); its equivalence is gated on a small grid by
+    # test_box_grid_static_kernel_matches_looped (400 interpret-mode
+    # unrolled cells trace for minutes — too slow for CI).
+    assert tables.box_grid_cells is not None
+    assert sum(len(g) for _, _, g in tables.box_grid_cells) == 400
+
+
+def test_box_grid_static_kernel_matches_looped():
+    """The fully-static (compile-time cell table) grid kernel is a
+    case-equal refactor of the looped kernel's candidate math: hit masks
+    must be identical and t fp-equal (separate programs fuse mul+add
+    differently by ulps); exact cell ties may resolve to a different
+    winner (height-grouped merge order), so attributes get a >=99% bar.  Uses a
+    synthetic 8x8 field (64 boxes = the detection minimum) with repeated
+    heights (exercises grouping) and two materials (exercises the
+    non-uniform static path)."""
+    from art_tpu.scene.builder import SceneBuilder
+    from art_tpu.scene.materials import Lambertian, Metal
+    from art_tpu.scene.objects import Box
+
+    m1, m2 = Lambertian((0.5, 0.5, 0.5)), Metal((0.8, 0.8, 0.8), 0.1)
+    b = SceneBuilder()
+    for ix in range(8):
+        for iz in range(8):
+            h = 1.0 + ((ix * 13 + iz * 37) % 5)  # 5 distinct heights
+            b.add(Box(
+                (ix * 10.0, 0.0, iz * 10.0),
+                (ix * 10.0 + 10.0, h, iz * 10.0 + 10.0),
+                m1 if (ix + iz) % 2 else m2,
+            ))
+    b.set_camera(
+        lookfrom=(40, 30, -40), lookat=(40, 0, 40), vup=(0, 1, 0),
+        vfov_degrees=60.0, aspect=1.0, aperture=0.0, focus_dist=10.0,
+    )
+    tables = b.compile().tables
+    assert tables.box_grid_kx == 8 and tables.box_grid_kz == 8
+    assert tables.box_grid_mat < 0.0  # mixed materials
+    assert tables.box_grid_cells is not None
+    assert len(tables.box_grid_cells) == 10  # 5 heights x 2 materials
+
+    o, d, tm = _ray_batch(9, RB, origin_span=160.0, origin_center=(40, 10, 40))
+    kw = dict(
+        kx=tables.box_grid_kx, kz=tables.box_grid_kz,
+        x0=tables.box_grid_x0, z0=tables.box_grid_z0,
+        w=tables.box_grid_w, y0=tables.box_grid_y0, interpret=True,
+    )
+    t_g, n_g, u_g, v_g, m_g = pk.box_grid_hit_attrs(tables.box_grid, o, d, **kw)
+    t_s, n_s, u_s, v_s, m_s = pk.box_grid_static_hit_attrs(
+        o, d, cells=tables.box_grid_cells, uniform_mat=-1.0, **kw
+    )
+    hit = _hit_mask(t_g)
+    assert hit.any() and (~hit).any()
+    np.testing.assert_array_equal(_hit_mask(t_s), hit)
+    # case-equal math, but the two kernels compile as separate programs
+    # whose mul+add fusion differs by ulps
+    np.testing.assert_allclose(
+        np.asarray(t_s)[hit], np.asarray(t_g)[hit], rtol=2e-5, atol=1e-3
+    )
+    agree = np.asarray(m_s)[hit] == np.asarray(m_g)[hit]
+    for c in range(3):
+        agree &= np.isclose(
+            np.asarray(n_s[c])[hit], np.asarray(n_g[c])[hit],
+            rtol=1e-4, atol=2e-4,
+        )
+    agree &= np.isclose(np.asarray(u_s)[hit], np.asarray(u_g)[hit], atol=1e-3)
+    agree &= np.isclose(np.asarray(v_s)[hit], np.asarray(v_g)[hit], atol=1e-3)
+    assert agree.mean() > 0.99, agree.mean()
+
 
 def test_sphere_cluster_kernel_matches_brute():
     """Block-synchronous cluster culling must be exactly equal to the
