@@ -121,6 +121,9 @@ _NO_GRID_BOXES = bool(os.environ.get("ART_TPU_NO_GRID_BOXES"))
 # Looped grid kernel instead of the fully-static (compile-time cell
 # table) form; A/B switch for the static unroll + height grouping.
 _NO_GRID_STATIC = bool(os.environ.get("ART_TPU_NO_GRID_STATIC"))
+# Fully-static sphere loop (compile-time sphere constants, zero table
+# loads): opt-in pending a TPU A/B vs the looped kernel.
+_SPH_STATIC = bool(os.environ.get("ART_TPU_SPH_STATIC"))
 # Expanded-quadratic static sphere loop (pack_spheres col 9): the builder
 # gates it by coordinate scale (sph_expand); on top of that it only WINS
 # past ~1k static spheres (v5e A/B: final_scene 55.2 -> 56.7 at 1008, but
@@ -508,6 +511,16 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                 t_s, n_s, u_s, v_s, m_s = pk.sphere_hit_attrs_mxu(
                     tables.sph_mxu_feat, tables.sph_mxu_attr, o, d, time,
                     s_pad=tables.mxu_sphere_pad, needs_uv=needs_uv,
+                )
+            elif tables.sph_static_cells is not None and _SPH_STATIC:
+                t_s, n_s, u_s, v_s, m_s = pk.sphere_static_hit_attrs(
+                    o, d, time,
+                    cells=tables.sph_static_cells,
+                    tail_r=tables.sph_tail_r,
+                    tail_mat=tables.sph_tail_mat,
+                    pos_r=tables.sph_pos_r and not _NO_SPH_POS_R,
+                    expand=tables.sph_expand and not _NO_SPH_EXPAND,
+                    needs_uv=needs_uv,
                 )
             else:
                 t_s, n_s, u_s, v_s, m_s = pk.sphere_hit_attrs_planar(

@@ -33,6 +33,12 @@ RAY_BLOCK = _SUBLANES * _LANES
 # and 32 are legal).  32 measured +5% over 16 on bouncing_spheres
 # (114.1 vs 108.3 Mrays/s, docs/PERF_NOTES.md).
 _SPH_UNROLL = int(__import__("os").environ.get("ART_TPU_SPH_UNROLL", "32"))
+# Sphere table in SMEM instead of VMEM (opt-in A/B, ART_TPU_SPH_SMEM=1):
+# the per-sphere scalar loads are the kernel's co-limiting cost
+# (docs/PERF_NOTES.md, expanded-quadratic A/B) and SMEM is the TPU's
+# scalar memory — a VMEM scalar read may lower to a vector load + lane
+# extract.
+_SPH_SMEM = bool(__import__("os").environ.get("ART_TPU_SPH_SMEM"))
 
 
 def _sphere_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -308,11 +314,21 @@ def sphere_hit_attrs_planar(
             pos_r=pos_r,
         ),
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
+        in_specs=[_sph_table_spec()] + [ray_spec] * 7,
         out_specs=(ray_spec,) * 5,
         out_shape=(f32, f32, f32, f32, i32),
         interpret=interpret,
     )(sph_packed, *comps)
+    return _sphere_uv_epilogue(t, nx, ny, nz, mat, R, needs_uv)
+
+
+def _sph_table_spec():
+    return pl.BlockSpec(
+        memory_space=pltpu.SMEM if _SPH_SMEM else pltpu.VMEM
+    )
+
+
+def _sphere_uv_epilogue(t, nx, ny, nz, mat, R, needs_uv):
     normal = (nx.reshape(R), ny.reshape(R), nz.reshape(R))
     if needs_uv:
         # spherical uv from the (signed) normal (src/sphere.cuh:42-49);
@@ -324,6 +340,216 @@ def sphere_hit_attrs_planar(
     else:
         u = v = jnp.zeros((R,), jnp.float32)
     return t.reshape(R), normal, u, v, mat.reshape(R)
+
+
+def static_sphere_cells(
+    sph_packed, n_moving_pad: int, n_static: int, n_tail: int
+) -> tuple:
+    """Compile-time constant rows for _sphere_static_kernel.
+
+    Returns (moving, main, tail) in packed order: ``moving`` rows are
+    (cx0, cy0, cz0, vx, vy, vz, r, mat, r2) — the real (unpadded) moving
+    spheres; ``main`` rows are (cx, cy, cz, r, mat, r2, K) covering the
+    first n_static - n_tail real static rows; ``tail`` rows are
+    (cx, cy, cz, r2, K) for the (radius, material)-uniform group
+    pack_spheres sorted to the segment end.  Values are taken verbatim
+    from the packed table so the static kernel's candidate math sees
+    bit-identical constants."""
+    import numpy as np
+
+    p = np.asarray(sph_packed)
+    # real moving rows: pad rows have r2 == -1
+    mov = p[:n_moving_pad]
+    mov = mov[mov[:, 8] > 0.0]
+    moving = tuple(
+        (float(r[0]), float(r[1]), float(r[2]), float(r[3]), float(r[4]),
+         float(r[5]), float(r[6]), float(r[7]), float(r[8]))
+        for r in mov
+    )
+    stat = p[n_moving_pad : n_moving_pad + n_static]
+    n_main = n_static - n_tail
+    main = tuple(
+        (float(r[0]), float(r[1]), float(r[2]), float(r[6]), float(r[7]),
+         float(r[8]), float(r[9]))
+        for r in stat[:n_main]
+    )
+    tail = tuple(
+        (float(r[0]), float(r[1]), float(r[2]), float(r[8]), float(r[9]))
+        for r in stat[n_main:]
+    )
+    return moving, main, tail
+
+
+def _sphere_static_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                          tm_ref, t_ref, nx_ref, ny_ref, nz_ref, mat_ref,
+                          *, moving: tuple, main: tuple, tail: tuple,
+                          tail_r: float, tail_mat: float, pos_r: bool,
+                          expand: bool, t_min: float):
+    """Fully-static sphere loop: every sphere's (center, velocity,
+    radius, material, K) is a compile-time constant baked into the
+    unrolled instruction stream (builder: tables.sph_static_cells) —
+    zero table loads and no padding rows (the looped kernel pads each
+    segment to the 32x unroll).  Moving centers evaluate as
+    c0 + tm * v with immediate operands (bouncing_spheres is 409
+    moving / 79 static — the moving segment dominates the headline
+    scene's loads).
+
+    Candidate math is case-equal to _sphere_kernel — same NaN-reject
+    roots, same expanded/standard quadratic forms, same carry layouts and
+    tail-merge rule — so hit sets match (t can wobble by ulps: separate
+    programs fuse mul+add differently).
+
+    ``moving`` rows are (cx0, cy0, cz0, vx, vy, vz, r, mat, r2);
+    ``main`` rows are (cx, cy, cz, r, mat, r2, K); ``tail`` rows are
+    (cx, cy, cz, r2, K) shared-attribute rows merged once post-loop."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    a = dx * dx + dy * dy + dz * dz
+    neg_inv_a = -1.0 / a
+    ta2 = -t_min * a
+
+    def _roots(b, c):
+        # NaN-reject form (see _sphere_kernel._roots)
+        disc = b * b - a * c
+        sq = jnp.sqrt(disc)
+        s2 = jnp.where(b + sq < ta2, sq, -sq)
+        return (b + s2) * neg_inv_a
+
+    def update(carry, cand):
+        better = (cand[0] > t_min) & (cand[0] < carry[0])  # false on NaN
+        return tuple(jnp.where(better, n, c) for n, c in zip(cand, carry))
+
+    carry_r = not pos_r
+    zeros = jnp.zeros(ox.shape, jnp.float32)
+    carry = (
+        (jnp.full(ox.shape, BIG, jnp.float32),)  # t
+        + (zeros, zeros, zeros)  # center (at ray time for moving)
+        + ((jnp.full(ox.shape, 1.0, jnp.float32),) if carry_r else ())
+        + (zeros,)  # material id (as f32)
+    )
+
+    if expand:
+        # expanded-quadratic static form; K = |c|^2 - r^2 is free here
+        # (compile-time), unlike the looped kernel's per-sphere K load
+        oo = ox * ox + oy * oy + oz * oz
+        od = ox * dx + oy * dy + oz * dz
+        ox2, oy2, oz2 = 2.0 * ox, 2.0 * oy, 2.0 * oz
+
+        def bc(cx, cy, cz, r2, K):
+            b = od - (cx * dx + cy * dy + cz * dz)  # == oc.d
+            c = (oo + K) - (cx * ox2 + cy * oy2 + cz * oz2)
+            return b, c
+    else:
+        def bc(cx, cy, cz, r2, K):
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+            return b, c
+
+    if moving:
+        tm = tm_ref[:]
+        for cx0, cy0, cz0, vx, vy, vz, r, m, r2 in moving:
+            cx = cx0 + tm * vx
+            cy = cy0 + tm * vy
+            cz = cz0 + tm * vz
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+            cand = _roots(b, c)
+            carry = update(
+                carry,
+                (cand, cx, cy, cz) + ((r,) if carry_r else ()) + (m,),
+            )
+
+    for cx, cy, cz, r, m, r2, K in main:
+        cand = _roots(*bc(cx, cy, cz, r2, K))
+        carry = update(
+            carry,
+            (cand, cx, cy, cz) + ((r,) if carry_r else ()) + (m,),
+        )
+
+    if tail:
+        tc = (jnp.full(ox.shape, BIG, jnp.float32), zeros, zeros, zeros)
+        for cx, cy, cz, r2, K in tail:
+            tc = update(tc, (_roots(*bc(cx, cy, cz, r2, K)), cx, cy, cz))
+        t2, cx2, cy2, cz2 = tc
+        better = t2 < carry[0]  # both accumulations honor t_min already
+        merged = [
+            jnp.where(better, t2, carry[0]),
+            jnp.where(better, cx2, carry[1]),
+            jnp.where(better, cy2, carry[2]),
+            jnp.where(better, cz2, carry[3]),
+        ]
+        if carry_r:
+            merged.append(jnp.where(better, tail_r, carry[4]))
+        merged.append(jnp.where(better, tail_mat, carry[-1]))
+        carry = tuple(merged)
+
+    best_t, bcx, bcy, bcz = carry[:4]
+    bm = carry[-1]
+
+    # winner attributes — identical epilogue to _sphere_kernel
+    if not carry_r:
+        t_n = jnp.minimum(best_t, 1e18)
+    else:
+        t_n = best_t
+    px = ox + t_n * dx - bcx
+    py = oy + t_n * dy - bcy
+    pz = oz + t_n * dz - bcz
+    if carry_r:
+        inv_r = 1.0 / carry[4]
+    else:
+        inv_r = jax.lax.rsqrt(px * px + py * py + pz * pz)
+    t_ref[:] = best_t
+    nx_ref[:] = px * inv_r
+    ny_ref[:] = py * inv_r
+    nz_ref[:] = pz * inv_r
+    mat_ref[:] = bm.astype(jnp.int32)
+
+
+def sphere_static_hit_attrs(
+    o,  # 3-tuple of (R,) planes
+    d,
+    tm,
+    *,
+    cells: tuple,  # tables.sph_static_cells == (moving, main, tail)
+    tail_r: float,
+    tail_mat: float,
+    pos_r: bool,
+    expand: bool,
+    needs_uv: bool,
+    interpret: bool = False,
+):
+    """sphere_hit_attrs_planar with every sphere baked at compile time
+    (same outputs; no table input at all)."""
+    moving, main, tail = cells
+    R = o[0].shape[0]
+    rows, grid, ray_spec = _ray_grid(R)
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    comps = tuple(plane(c) for c in (*o, *d, tm))
+    f32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    t, nx, ny, nz, mat = pl.pallas_call(
+        functools.partial(
+            _sphere_static_kernel, moving=moving, main=main, tail=tail,
+            tail_r=tail_r, tail_mat=tail_mat, pos_r=pos_r, expand=expand,
+            t_min=1e-3,
+        ),
+        grid=(grid,),
+        in_specs=[ray_spec] * 7,
+        out_specs=(ray_spec,) * 5,
+        out_shape=(f32, f32, f32, f32, i32),
+        interpret=interpret,
+    )(*comps)
+    return _sphere_uv_epilogue(t, nx, ny, nz, mat, R, needs_uv)
 
 
 # ---------------------------------------------------------------------------

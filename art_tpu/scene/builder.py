@@ -637,6 +637,18 @@ class _Compiler:
             sph_expand = bool(np.all((cc + 1.0) * 6.0 * 2.0**-23 < 0.01 * r2))
         else:
             sph_expand = False
+        # Compile-time constant rows for the fully-static sphere kernel
+        # (opt-in, ART_TPU_SPH_STATIC).  Gated by unroll size: ~30 vector
+        # ops per baked sphere keeps a 2048-sphere body within Mosaic's
+        # practical compile budget (final_scene's 1008 is the largest
+        # reference scene).
+        sph_static_cells = None
+        if tables.n_spheres and tables.n_spheres <= 2048:
+            from art_tpu.ops.pallas_kernels import static_sphere_cells
+
+            sph_static_cells = static_sphere_cells(
+                sph_packed, sph_n_moving_pad, sph_n_static, sph_n_tail
+            )
         tables = dataclasses.replace(
             tables,
             sph_packed=sph_packed,
@@ -647,6 +659,7 @@ class _Compiler:
             sph_tail_mat=sph_tail_mat,
             sph_pos_r=sph_pos_r,
             sph_expand=sph_expand,
+            sph_static_cells=sph_static_cells,
             quad_packed=pack_quads(tables),
             box_packed=pack_boxes(tables),
         )

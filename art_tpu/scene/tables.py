@@ -219,6 +219,11 @@ class SceneTables:
     # computed once per distinct height.  None = use the looped kernel
     # (grid too large to unroll).
     box_grid_cells: tuple | None = _static()
+    # Compile-time sphere table for the fully-static sphere kernel
+    # (pallas_kernels._sphere_static_kernel): (moving, main, tail) per
+    # static_sphere_cells.  None = scene too large to unroll (> 2048
+    # spheres).  Opt-in via ART_TPU_SPH_STATIC (pending TPU A/B).
+    sph_static_cells: tuple | None = _static()
 
 
 def _z(shape, dtype=jnp.float32):
@@ -318,4 +323,5 @@ def empty_tables() -> dict:
         box_grid_y0=0.0,
         box_grid_mat=-1.0,
         box_grid_cells=None,
+        sph_static_cells=None,
     )
