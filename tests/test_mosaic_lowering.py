@@ -1,0 +1,224 @@
+"""AOT Mosaic lowering checks for every production Pallas kernel.
+
+Interpret-mode equivalence tests (test_pallas_kernels.py) validate the
+MATH but execute the kernels as plain jnp — they cannot catch a missing
+Mosaic lowering (e.g. cumsum, arccos, per-lane gather; see CLAUDE.md).
+Historically only a real-TPU render caught those, hours after the bug
+landed.  ``jax.jit(f).trace(...).lower(lowering_platforms=('tpu',))``
+runs the Pallas->Mosaic lowering pipeline ON CPU, so an unsupported op in
+any kernel body fails HERE, in CI.
+
+(This validates lowering, not the Mosaic->LLO backend compile or
+runtime behavior — those still need the real chip.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from art_tpu.models import build_scene
+from art_tpu.ops import pallas_kernels as pk
+
+RB = pk.RAY_BLOCK
+
+
+def _lower_tpu(f, *args):
+    jax.jit(f).trace(*args).lower(lowering_platforms=("tpu",))
+
+
+def _rays(with_tm=True, R=RB):
+    o = tuple(jnp.zeros((R,), jnp.float32) for _ in range(3))
+    d = (jnp.ones((R,), jnp.float32),) * 3
+    if with_tm:
+        return o, d, jnp.zeros((R,), jnp.float32)
+    return o, d
+
+
+@pytest.fixture(scope="module")
+def bouncing():
+    return build_scene("bouncing_spheres", 64, 32).tables
+
+
+@pytest.fixture(scope="module")
+def final():
+    return build_scene("final_scene", 64, 64).tables
+
+
+def test_sphere_looped_lowers(bouncing):
+    """Production flag combination for the headline scene, plus the
+    SMEM-table variant (ART_TPU_SPH_SMEM)."""
+    o, d, tm = _rays()
+
+    def f(o, d, tm, smem):
+        old = pk._SPH_SMEM
+        pk._SPH_SMEM = smem
+        try:
+            return pk.sphere_hit_attrs_planar(
+                bouncing.sph_packed, o, d, tm,
+                n_moving=bouncing.sph_n_moving_pad,
+                n_static=bouncing.sph_n_static,
+                needs_uv=True, expand=bouncing.sph_expand,
+                n_tail=bouncing.sph_n_tail, tail_r=bouncing.sph_tail_r,
+                tail_mat=bouncing.sph_tail_mat, pos_r=bouncing.sph_pos_r,
+            )
+        finally:
+            pk._SPH_SMEM = old
+
+    _lower_tpu(lambda o, d, tm: f(o, d, tm, False), o, d, tm)
+    _lower_tpu(lambda o, d, tm: f(o, d, tm, True), o, d, tm)
+
+
+@pytest.mark.parametrize("scene", ["bouncing", "final"])
+def test_sphere_static_lowers(scene, bouncing, final):
+    tb = {"bouncing": bouncing, "final": final}[scene]
+    o, d, tm = _rays()
+    _lower_tpu(
+        lambda o, d, tm: pk.sphere_static_hit_attrs(
+            o, d, tm, cells=tb.sph_static_cells, tail_r=tb.sph_tail_r,
+            tail_mat=tb.sph_tail_mat, pos_r=tb.sph_pos_r,
+            expand=tb.sph_expand, needs_uv=True,
+        ),
+        o, d, tm,
+    )
+
+
+def test_sphere_cluster_lowers(bouncing):
+    assert bouncing.n_sphere_clusters > 0
+    o, d, tm = _rays()
+    _lower_tpu(
+        lambda o, d, tm: pk.sphere_hit_attrs_clustered(
+            bouncing.sph_cl_packed, bouncing.sph_cl_box, o, d, tm,
+            n_clusters=bouncing.n_sphere_clusters, moving=True,
+            needs_uv=True,
+        ),
+        o, d, tm,
+    )
+
+
+def test_sphere_mxu_lowers(bouncing):
+    assert bouncing.mxu_sphere_pad > 0
+    o, d, tm = _rays()
+    _lower_tpu(
+        lambda o, d, tm: pk.sphere_hit_attrs_mxu(
+            bouncing.sph_mxu_feat, bouncing.sph_mxu_attr, o, d, tm,
+            s_pad=bouncing.mxu_sphere_pad, needs_uv=True,
+        ),
+        o, d, tm,
+    )
+
+
+def test_quad_and_box_lowers():
+    # cornell_box keeps its rotated boxes in the box table (cornell_smoke
+    # wraps them in ConstantMedium -> media boundaries instead)
+    tb = build_scene("cornell_box", 64, 64).tables
+    o, d = _rays(with_tm=False)
+    _lower_tpu(
+        lambda o, d: pk.quad_closest_hit_planar(
+            tb.quad_packed, o, d, n_quads=tb.n_quads
+        ),
+        o, d,
+    )
+    assert tb.has_rotated_boxes
+    _lower_tpu(
+        lambda o, d: pk.box_hit_attrs_planar(
+            tb.box_packed, o, d, n_boxes=tb.n_boxes, rotated=True
+        ),
+        o, d,
+    )
+    _lower_tpu(
+        lambda o, d: pk.box_hit_attrs_planar(
+            tb.box_packed, o, d, n_boxes=tb.n_boxes, rotated=False
+        ),
+        o, d,
+    )
+
+
+def test_box_grid_lowers(final):
+    o, d = _rays(with_tm=False)
+    kw = dict(
+        kx=final.box_grid_kx, kz=final.box_grid_kz, x0=final.box_grid_x0,
+        z0=final.box_grid_z0, w=final.box_grid_w, y0=final.box_grid_y0,
+        uniform_mat=final.box_grid_mat,
+    )
+    _lower_tpu(
+        lambda o, d: pk.box_grid_hit_attrs(final.box_grid, o, d, **kw), o, d
+    )
+    _lower_tpu(
+        lambda o, d: pk.box_grid_static_hit_attrs(
+            o, d, cells=final.box_grid_cells, **kw
+        ),
+        o, d,
+    )
+
+
+def test_box_cluster_lowers(final):
+    assert final.n_box_clusters > 0
+    o, d = _rays(with_tm=False)
+    _lower_tpu(
+        lambda o, d: pk.box_hit_attrs_clustered(
+            final.box_cl_packed, final.box_cl_box, o, d,
+            n_clusters=final.n_box_clusters, rotated=False,
+        ),
+        o, d,
+    )
+
+
+def test_flush_kernel_lowers():
+    from art_tpu.ops.flush_kernel import flush_accumulate
+
+    pix = jnp.zeros((RB,), jnp.int32)
+    died = jnp.zeros((RB,), bool)
+    radiance = tuple(jnp.zeros((RB,), jnp.float32) for _ in range(3))
+    fb = jnp.zeros((16, 384), jnp.float32)
+    _lower_tpu(
+        lambda pix, died, radiance, fb: flush_accumulate(
+            pix, died, radiance, fb, base=jnp.int32(0)
+        ),
+        pix, died, radiance, fb,
+    )
+
+
+def test_turbulence_kernel_lowers():
+    from art_tpu.ops.perlin_kernel import turb_pallas
+
+    p = tuple(jnp.zeros((RB,), jnp.float32) for _ in range(3))
+    _lower_tpu(lambda px, py, pz: turb_pallas(px, py, pz, depth=7), *p)
+
+
+def test_refill_kernels_lower(bouncing):
+    """All three fused-refill forms, incl. the hardware-PRNG paths."""
+    from art_tpu.models import build_scene as bs
+    from art_tpu.ops.refill_kernel import (
+        fused_refill,
+        fused_refill_flush_rng,
+        fused_refill_rng,
+        pack_camera,
+    )
+
+    cam_vec = pack_camera(bs("bouncing_spheres", 64, 32).camera)
+    z = jnp.zeros((RB,), jnp.float32)
+    zi = jnp.zeros((RB,), jnp.int32)
+    planes = dict(
+        ox=z, oy=z, oz=z, dx=z, dy=z, dz=z, tm=z,
+        t0=z, t1=z, t2=z, r0=z, r1=z, r2=z,
+        bounce=zi, pix=zi, act=zi,
+    )
+    scal = jnp.zeros((8,), jnp.int32)
+    key2 = jnp.zeros((2,), jnp.int32)
+    uni = tuple(z for _ in range(5))
+    _lower_tpu(
+        lambda p, u, c, s: fused_refill(p, u, c, s), planes, uni, cam_vec,
+        scal,
+    )
+    _lower_tpu(
+        lambda p, k, c, s: fused_refill_rng(p, k, c, s, n_media=2),
+        planes, key2, cam_vec, scal,
+    )
+    window = jnp.zeros((16, 384), jnp.float32)
+    _lower_tpu(
+        lambda p, k, c, s, w: fused_refill_flush_rng(
+            p, k, c, s, w, jnp.int32(0), n_media=2
+        ),
+        planes, key2, cam_vec, scal, window,
+    )
