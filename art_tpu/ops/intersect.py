@@ -97,9 +97,10 @@ def _use_pallas(R: int) -> bool:
     """Use the fused Pallas intersection kernels on TPU backends."""
     if os.environ.get("ART_TPU_NO_PALLAS"):
         return False
+    from art_tpu.core.platform import tpu_paths
     from art_tpu.ops.pallas_kernels import RAY_BLOCK
 
-    return jax.default_backend() == "tpu" and R % RAY_BLOCK == 0
+    return tpu_paths() and R % RAY_BLOCK == 0
 
 
 # Block-synchronous cluster culling is opt-in: measured end-to-end it LOSES

@@ -39,11 +39,11 @@ _NO_COMPACT_FETCH = bool(__import__("os").environ.get("ART_TPU_NO_COMPACT_FETCH"
 
 def _turb(px, py, pz, depth: int, depth_mask=None):
     """Fused Pallas turbulence on TPU-aligned batches; jnp elsewhere."""
-    import jax
+    from art_tpu.core.platform import tpu_paths
 
     if (
         not _NO_TURB_KERNEL
-        and jax.default_backend() == "tpu"
+        and tpu_paths()
         and px.ndim == 1
         and px.shape[0] % 8192 == 0
     ):
@@ -117,11 +117,11 @@ def eval_texture_p(
             s = img_id.astype(jnp.float32) + u + v
             img_val = jnp.stack([s, s * 0.5, s * 0.25], axis=-1)
         else:
-            import jax
+            from art_tpu.core.platform import tpu_paths
 
             use_compact = (
                 not _NO_COMPACT_FETCH
-                and jax.default_backend() == "tpu"
+                and tpu_paths()
                 and u.ndim == 1
                 and u.shape[0] % 8192 == 0
             )

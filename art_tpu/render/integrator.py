@@ -75,9 +75,10 @@ def _fused_refill_ok(R: int) -> bool:
 
     if os.environ.get("ART_TPU_NO_FUSED_REFILL"):
         return False
+    from art_tpu.core.platform import tpu_paths
     from art_tpu.ops.refill_kernel import RAY_BLOCK
 
-    return jax.default_backend() == "tpu" and R % RAY_BLOCK == 0
+    return tpu_paths() and R % RAY_BLOCK == 0
 
 
 # Debug ablation flags, read once at import (never inside traced bodies).
@@ -99,7 +100,9 @@ def _flush_mode(R: int) -> str:
     """Resolved at trace time so importing this module never initializes
     the JAX backend (dryrun_multichip overrides the platform after import)."""
     if _FLUSH_ENV == "auto":
-        if jax.default_backend() != "tpu":
+        from art_tpu.core.platform import tpu_paths
+
+        if not tpu_paths():
             return "aos"
         from art_tpu.ops.flush_kernel import RAY_BLOCK
 
@@ -496,7 +499,9 @@ def render_wavefront(
         elif _FLUSH == "pallas":
             from art_tpu.ops.flush_kernel import flush_accumulate
 
-            interp = jax.default_backend() != "tpu"
+            from art_tpu.core.platform import tpu_paths
+
+            interp = not tpu_paths()
             if n_hi_win < n_hi_pallas:
                 # Windowed flush: the MXU one-hot accumulate costs
                 # n_hi*384*R MACs, but sample-major queue order bounds the
@@ -597,6 +602,7 @@ def render_wavefront(
         # rays that died in the FINAL bounce were never seam-flushed; all
         # other dead slots hold exact-zero radiance, so flushing every dead
         # slot once is exact.
+        from art_tpu.core.platform import tpu_paths
         from art_tpu.ops.flush_kernel import flush_accumulate
 
         base = jnp.clip(
@@ -606,7 +612,7 @@ def render_wavefront(
         window = jax.lax.dynamic_slice(final.fb, (base, 0), (n_hi_win, 384))
         slab = flush_accumulate(
             final.pix, ~final.active, final.radiance, window, base=base,
-            interpret=jax.default_backend() != "tpu",
+            interpret=not tpu_paths(),
         )
         final = final._replace(
             fb=jax.lax.dynamic_update_slice(final.fb, slab, (base, 0))

@@ -51,7 +51,9 @@ class RenderConfig:
 
 def plan_batches(n_pixels: int, spp: int, n_prims_max: int, cfg: RenderConfig):
     """Choose (tile_pixels, spp_chunk, n_slots) for the wavefront pool."""
-    if jax.default_backend() == "tpu":
+    from art_tpu.core.platform import tpu_paths
+
+    if tpu_paths():
         from art_tpu.ops.pallas_kernels import RAY_BLOCK
 
         slots = int(os.environ.get("ART_TPU_SLOTS", 0)) or cfg.tpu_slots

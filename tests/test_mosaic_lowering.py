@@ -222,3 +222,32 @@ def test_refill_kernels_lower(bouncing):
         ),
         planes, key2, cam_vec, scal, window,
     )
+
+
+@pytest.mark.parametrize("scene_name", ["bouncing_spheres", "final_scene"])
+def test_full_wavefront_step_lowers(scene_name, monkeypatch):
+    """The WHOLE production render step — fused refill (hardware PRNG) +
+    Pallas intersection + shade + windowed Pallas flush composed under
+    one jit — must cross-lower for TPU.  ART_TPU_FORCE_PALLAS turns every
+    backend gate (core/platform.tpu_paths) to the TPU decision on this
+    CPU host; catches wiring regressions interpret-mode math tests miss.
+    final_scene additionally routes the grid-static box kernel, the
+    compacted image fetch, and the turbulence kernel."""
+    monkeypatch.setenv("ART_TPU_FORCE_PALLAS", "1")
+    from art_tpu.render.integrator import render_wavefront
+
+    scene = build_scene(scene_name, 64, 64)
+    key = jax.random.PRNGKey(0)
+    bg = jnp.asarray(scene.background, jnp.float32)
+    jitted = jax.jit(
+        render_wavefront,
+        static_argnames=(
+            "spp", "tile_pixels", "total_pixels", "nx", "ny",
+            "max_depth", "gradient_bg", "n_slots",
+        ),
+    )
+    jitted.trace(
+        scene.tables, scene.camera, jnp.int32(0), key=key, background=bg,
+        spp=8, tile_pixels=1024, total_pixels=64 * 64, nx=64, ny=64,
+        max_depth=8, gradient_bg=scene.gradient_bg, n_slots=RB,
+    ).lower(lowering_platforms=("tpu",))
