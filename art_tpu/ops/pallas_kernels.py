@@ -452,9 +452,13 @@ def _sphere_static_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     if moving:
         tm = tm_ref[:]
         for cx0, cy0, cz0, vx, vy, vz, r, m, r2 in moving:
-            cx = cx0 + tm * vx
-            cy = cy0 + tm * vy
-            cz = cz0 + tm * vz
+            # zero-velocity components elide their FMA entirely (the
+            # reference bouncing scene's movers all have vx == 0:
+            # vel = (0, 0.5*rnd, 0.25*(rnd-0.5)), models/scenes.py) —
+            # exactly equal to the looped kernel's c0 + tm*0.0
+            cx = cx0 if vx == 0.0 else cx0 + tm * vx
+            cy = cy0 if vy == 0.0 else cy0 + tm * vy
+            cz = cz0 if vz == 0.0 else cz0 + tm * vz
             ocx = ox - cx
             ocy = oy - cy
             ocz = oz - cz

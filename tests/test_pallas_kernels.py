@@ -659,6 +659,9 @@ def _hand_packed_spheres(seed, n_mov, n_main, n_tail, tail_r, tail_mat,
         rows[:, 0:3] = c
         if moving:
             rows[:, 3:6] = (rng.random((n, 3)) - 0.5) * 1.5
+            rows[:, 3] = 0.0  # vx == 0, as the reference movers; the
+            # static kernel elides the zero-velocity FMA — must stay
+            # exactly equal to the looped kernel's c0 + tm*0.0
         rows[:, 6] = radii
         rows[:, 7] = mats
         rows[:, 8] = np.float32(radii) * np.float32(radii)
