@@ -1,0 +1,76 @@
+#!/bin/bash
+# Orchestrate the queued static-kernel A/Bs on the real chip.
+#
+# Waits for the axon tunnel (probe loop, docs/PERF_NOTES.md outage
+# playbook), then runs each measurement as its OWN python process (env
+# flags are read at import), strictly one at a time, no outer timeouts
+# on TPU work (SIGTERM mid-compile can crash the remote worker).
+#
+# Usage: bash scripts/run_ab_static.sh [logfile]
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+LOG="${1:-/tmp/ab_static.log}"
+: > "$LOG"
+
+say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+# -- wait for the tunnel ----------------------------------------------------
+say "probing tunnel..."
+until timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+  say "tunnel down, retrying"
+  sleep 240
+done
+say "tunnel UP"
+
+run() { # run NAME NX NY SPP [ENV=V ...]
+  local name=$1 nx=$2 ny=$3 spp=$4; shift 4
+  say "run: $name $nx $ny $spp  env: $*"
+  env "$@" python scripts/exp_shortpath.py "$name" "$nx" "$ny" "$spp" \
+    >> "$LOG" 2>&1
+  say "rc=$?"
+}
+
+# -- throughput A/Bs ---------------------------------------------------------
+# bouncing: looped (default) vs fully-static vs SMEM-table
+run bouncing_spheres 1200 800 500
+run bouncing_spheres 1200 800 500 ART_TPU_SPH_STATIC=1
+run bouncing_spheres 1200 800 500 ART_TPU_SPH_SMEM=1
+# final: grid-static default vs looped grid; sphere-static on top
+run final_scene 800 800 500
+run final_scene 800 800 500 ART_TPU_NO_GRID_STATIC=1
+run final_scene 800 800 500 ART_TPU_SPH_STATIC=1
+# original: sphere-static (hollow glass => pos_r False, carry-r path)
+run original_scene 800 800 500
+run original_scene 800 800 500 ART_TPU_SPH_STATIC=1
+
+# -- on-chip parity: new kernels vs their looped forms -----------------------
+say "parity: grid-static vs looped grid (final_scene 200x200@16)"
+python - >> "$LOG" 2>&1 <<'EOF'
+import os, subprocess, sys, tempfile
+import numpy as np
+def render(scene, env, out):
+    e = dict(os.environ); e.update(env)
+    code = (
+        "import sys;"
+        "from art_tpu.models import build_scene;"
+        "from art_tpu.render.renderer import RenderConfig, render_scene;"
+        "import numpy as np;"
+        "fb,_=render_scene(build_scene(sys.argv[1],200,200),RenderConfig(nx=200,ny=200,spp=16));"
+        "np.save(sys.argv[2], np.asarray(fb))"
+    )
+    subprocess.run([sys.executable, "-c", code, scene, out], env=e, check=True)
+for scene, env in [
+    ("final_scene", {"ART_TPU_NO_GRID_STATIC": "1"}),
+    ("bouncing_spheres", {"ART_TPU_SPH_STATIC": "1"}),
+    ("original_scene", {"ART_TPU_SPH_STATIC": "1"}),
+]:
+    a, b = tempfile.mktemp(suffix=".npy"), tempfile.mktemp(suffix=".npy")
+    render(scene, {}, a)
+    render(scene, env, b)
+    x, y = np.load(a), np.load(b)
+    corr = np.corrcoef(x.ravel(), y.ravel())[0, 1]
+    print(f"parity {scene} vs {env}: corr={corr:.6f} "
+          f"max|d|={np.abs(x-y).max():.4g} mean|d|={np.abs(x-y).mean():.4g}")
+EOF
+say "ALL DONE"
