@@ -6,18 +6,23 @@
 # flags are read at import), strictly one at a time, no outer timeouts
 # on TPU work (SIGTERM mid-compile can crash the remote worker).
 #
+# Every python invocation (probe included) holds /tmp/tpu.lock — the
+# "one Python process while TPU work runs" rule (CLAUDE.md).  Interactive
+# CPU-side work must take the same lock (flock /tmp/tpu.lock ...).
+#
 # Usage: bash scripts/run_ab_static.sh [logfile]
 set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 LOG="${1:-/tmp/ab_static.log}"
+LOCK=/tmp/tpu.lock
 : > "$LOG"
 
 say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
 
 # -- wait for the tunnel ----------------------------------------------------
 say "probing tunnel..."
-until timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+until flock "$LOCK" timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
   say "tunnel down, retrying"
   sleep 240
 done
@@ -26,7 +31,7 @@ say "tunnel UP"
 run() { # run NAME NX NY SPP [ENV=V ...]
   local name=$1 nx=$2 ny=$3 spp=$4; shift 4
   say "run: $name $nx $ny $spp  env: $*"
-  env "$@" python scripts/exp_shortpath.py "$name" "$nx" "$ny" "$spp" \
+  flock "$LOCK" env "$@" python scripts/exp_shortpath.py "$name" "$nx" "$ny" "$spp" \
     >> "$LOG" 2>&1
   say "rc=$?"
 }
@@ -46,7 +51,7 @@ run original_scene 800 800 500 ART_TPU_SPH_STATIC=1
 
 # -- on-chip parity: new kernels vs their looped forms -----------------------
 say "parity: grid-static vs looped grid (final_scene 200x200@16)"
-python - >> "$LOG" 2>&1 <<'EOF'
+flock "$LOCK" python - >> "$LOG" 2>&1 <<'EOF'
 import os, subprocess, sys, tempfile
 import numpy as np
 def render(scene, env, out):
