@@ -49,6 +49,15 @@ run final_scene 800 800 500 ART_TPU_SPH_STATIC=1
 run original_scene 800 800 500
 run original_scene 800 800 500 ART_TPU_SPH_STATIC=1
 
+# -- carried-over queue from the outage-killed session ------------------------
+# deeper unroll (loop-carry amortization past 32)
+run bouncing_spheres 1200 800 500 ART_TPU_SPH_UNROLL=64
+run final_scene 800 800 500 ART_TPU_SPH_UNROLL=64
+# compact-fetch capacity (MXU scatter cost is linear in K)
+run original_scene 800 800 500 ART_TPU_FETCH_K=4096
+run simple_light 1200 600 500
+run simple_light 1200 600 500 ART_TPU_FETCH_K=4096
+
 # -- on-chip parity: new kernels vs their looped forms -----------------------
 say "parity: grid-static vs looped grid (final_scene 200x200@16)"
 flock "$LOCK" python - >> "$LOG" 2>&1 <<'EOF'
