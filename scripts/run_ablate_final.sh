@@ -1,0 +1,37 @@
+#!/bin/bash
+# Fine-grained final_scene iteration-budget ablation on the real chip.
+# Run AFTER scripts/run_ab_static.sh finishes (flock serializes anyway).
+# Each variant is its own python process (flags read at import); every
+# invocation holds /tmp/tpu.lock (CLAUDE.md one-process rule).
+#
+# Usage: bash scripts/run_ablate_final.sh [logfile]
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+LOG="${1:-/tmp/ablate_final.log}"
+LOCK=/tmp/tpu.lock
+: > "$LOG"
+
+say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+until flock "$LOCK" timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+  say "tunnel down, retrying"
+  sleep 240
+done
+say "tunnel UP"
+
+run() { # run ENVSPEC...
+  say "ablate: $*"
+  flock "$LOCK" env "$@" python scripts/exp_shortpath.py final_scene 800 800 500 \
+    >> "$LOG" 2>&1
+  say "rc=$?"
+}
+
+run X=1                                  # full (baseline)
+run ART_TPU_DBG=fake_media               # both constant media elided
+run ART_TPU_DBG=fake_quads               # quad kernel elided
+run ART_TPU_DBG=fake_boxes               # grid/box kernel elided
+run ART_TPU_DBG=fake_spheres             # sphere kernel elided
+run ART_TPU_DBG=fake_image               # image texel fetch elided
+run ART_TPU_NO_FLUSH=1                   # fb flush elided
+say "ALL DONE"
