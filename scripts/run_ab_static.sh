@@ -36,23 +36,24 @@ run() { # run NAME NX NY SPP [ENV=V ...]
   say "rc=$?"
 }
 
-# -- throughput A/Bs ---------------------------------------------------------
-# bouncing: looped (default) vs fully-static vs SMEM-table
-run bouncing_spheres 1200 800 500
-run bouncing_spheres 1200 800 500 ART_TPU_SPH_STATIC=1
-run bouncing_spheres 1200 800 500 ART_TPU_SPH_SMEM=1
-# final: grid-static default vs looped grid; sphere-static on top
+# -- throughput A/Bs, highest-value first (outage may cut the queue short) ---
+# 1) the NEW DEFAULT (grid-static box kernel) must compile+run on the real
+#    Mosaic backend before anything else — bench.py's final_scene sweep and
+#    every official render depend on it.
 run final_scene 800 800 500
+# 2) headline sanity (cache-warm program, fast)
+run bouncing_spheres 1200 800 500
+# 3) the final_scene A/B pair for the default + the static-sphere candidate
 run final_scene 800 800 500 ART_TPU_NO_GRID_STATIC=1
 run final_scene 800 800 500 ART_TPU_SPH_STATIC=1
-# original: sphere-static (hollow glass => pos_r False, carry-r path)
-run original_scene 800 800 500
-run original_scene 800 800 500 ART_TPU_SPH_STATIC=1
-
-# -- carried-over queue from the outage-killed session ------------------------
-# deeper unroll (loop-carry amortization past 32)
+# 4) bouncing candidates: fully-static vs SMEM-table vs deeper unroll
+run bouncing_spheres 1200 800 500 ART_TPU_SPH_STATIC=1
+run bouncing_spheres 1200 800 500 ART_TPU_SPH_SMEM=1
 run bouncing_spheres 1200 800 500 ART_TPU_SPH_UNROLL=64
 run final_scene 800 800 500 ART_TPU_SPH_UNROLL=64
+# 5) original: sphere-static (hollow glass => pos_r False, carry-r path)
+run original_scene 800 800 500
+run original_scene 800 800 500 ART_TPU_SPH_STATIC=1
 # compact-fetch capacity (MXU scatter cost is linear in K)
 run original_scene 800 800 500 ART_TPU_FETCH_K=4096
 run simple_light 1200 600 500
