@@ -94,7 +94,12 @@ def compact_gather(
         return jnp.where(needy, data[jnp.clip(flat_idx, 0, data.shape[0] - 1)],
                          jnp.zeros((), data.dtype))
 
-    if R % RAY_BLOCK != 0 or K % 128 != 0 or R <= K:
+    # _bytes3 carries 24 bits: both the texel index (< atlas size) and the
+    # ray id (< R) must fit or the compact branch would corrupt indices.
+    if (
+        R % RAY_BLOCK != 0 or K % 128 != 0 or R <= K
+        or data.shape[0] > (1 << 24) or R > (1 << 24)
+    ):
         return dense(None)
 
     cnt = jnp.sum(needy.astype(jnp.int32))

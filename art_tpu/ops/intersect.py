@@ -26,9 +26,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from art_tpu.core.vecmath import (
     BIG,
+    T_MIN,
     p_cross,
     p_dot,
     p_ray_at,
@@ -103,6 +105,11 @@ def _use_pallas(R: int) -> bool:
     return tpu_paths() and R % RAY_BLOCK == 0
 
 
+# NOTE: every ART_TPU_* perf switch below is read ONCE at import and frozen
+# into a module constant (they select trace-time code paths; reading env
+# inside traced bodies is a foot-gun — VERDICT r1).  Consequence: toggling
+# os.environ after this module is imported is a silent no-op — A/B harnesses
+# must run each variant in its own process (scripts/run_ab_static.sh does).
 # Block-synchronous cluster culling is opt-in: measured end-to-end it LOSES
 # on the mixed wavefront pool (bouncing -6%, final_scene -18% — scattered
 # survivor rays defeat block-level skips; docs/PERF_NOTES.md r2).  The
@@ -485,7 +492,13 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
     sph_attrs = None  # (normal, u, v, mat) straight from the sphere kernel
     idx_s = None
 
-    use_pallas = _use_pallas(R)
+    # The Pallas kernels bake the reference epsilon (T_MIN = 1e-3) as a
+    # compile-time constant; a different t_min must fall back to the jnp
+    # path or the two paths would silently diverge near surfaces.
+    static_t_min = isinstance(t_min, (int, float, np.floating)) and float(
+        t_min
+    ) == float(T_MIN)
+    use_pallas = _use_pallas(R) and static_t_min
     if use_pallas:
         from art_tpu.ops import pallas_kernels as pk
 
@@ -520,7 +533,8 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                     tail_r=tables.sph_tail_r,
                     tail_mat=tables.sph_tail_mat,
                     pos_r=tables.sph_pos_r and not _NO_SPH_POS_R,
-                    expand=tables.sph_expand and not _NO_SPH_EXPAND,
+                    expand=not _NO_SPH_EXPAND
+                    and (_FORCE_SPH_EXPAND or tables.sph_expand),
                     needs_uv=needs_uv,
                 )
             else:
@@ -529,11 +543,17 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                     n_moving=tables.sph_n_moving_pad,
                     n_static=tables.sph_n_static,
                     needs_uv=needs_uv,
-                    expand=tables.sph_expand
-                    and not _NO_SPH_EXPAND
+                    # ART_TPU_SPH_EXPAND is a true force: it overrides both
+                    # the builder precision gate and the count gate (an A/B
+                    # that silently measured the non-expanded loop would
+                    # record wrong numbers).  Default: precision AND count.
+                    expand=not _NO_SPH_EXPAND
                     and (
                         _FORCE_SPH_EXPAND
-                        or tables.sph_n_static >= _SPH_EXPAND_MIN_STATIC
+                        or (
+                            tables.sph_expand
+                            and tables.sph_n_static >= _SPH_EXPAND_MIN_STATIC
+                        )
                     ),
                     n_tail=0 if _NO_SPH_TAIL else tables.sph_n_tail,
                     tail_r=tables.sph_tail_r,

@@ -18,6 +18,7 @@ reference implementation (CPU tests, interpret mode).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -764,15 +765,7 @@ def sphere_hit_attrs_mxu(
         scratch_shapes=[pltpu.VMEM((16, _MXU_NL), jnp.float32)],
         interpret=interpret,
     )(F, attrT, *comps)
-    normal = (nx.reshape(R), ny.reshape(R), nz.reshape(R))
-    if needs_uv:
-        theta = jnp.arccos(jnp.clip(-normal[1], -1.0, 1.0))
-        phi = jnp.arctan2(-normal[2], normal[0]) + jnp.pi
-        u = phi * (0.5 / jnp.pi)
-        v = theta * (1.0 / jnp.pi)
-    else:
-        u = v = jnp.zeros((R,), jnp.float32)
-    return t.reshape(R), normal, u, v, mat.reshape(R)
+    return _sphere_uv_epilogue(t, nx, ny, nz, mat, R, needs_uv)
 
 
 # ---------------------------------------------------------------------------
@@ -901,7 +894,7 @@ def _sphere_cluster_kernel(sph_ref, cl_ref, ox_ref, oy_ref, oz_ref,
 
 
 def sphere_hit_attrs_clustered(
-    sph_cl_packed: jnp.ndarray,  # (S_pad, 8) BVH-leaf-ordered sphere rows
+    sph_cl_packed: jnp.ndarray,  # (S_pad, 9) BVH-leaf-ordered _sphere_rows
     sph_cl_box: jnp.ndarray,  # (C, 8) cluster AABBs [min(3) max(3) 0 0]
     o,  # 3-tuple of (R,) planes
     d,
@@ -935,21 +928,13 @@ def sphere_hit_attrs_clustered(
         scratch_shapes=scratch,
         interpret=interpret,
     )(sph_cl_packed, sph_cl_box, *comps)
-    normal = (nx.reshape(R), ny.reshape(R), nz.reshape(R))
-    if needs_uv:
-        theta = jnp.arccos(jnp.clip(-normal[1], -1.0, 1.0))
-        phi = jnp.arctan2(-normal[2], normal[0]) + jnp.pi
-        u = phi * (0.5 / jnp.pi)
-        v = theta * (1.0 / jnp.pi)
-    else:
-        u = v = jnp.zeros((R,), jnp.float32)
-    return t.reshape(R), normal, u, v, mat.reshape(R)
+    return _sphere_uv_epilogue(t, nx, ny, nz, mat, R, needs_uv)
 
 
 def cluster_spheres(tables):
     """Host-side: BVH-leaf-order sphere clustering for the culled kernel.
 
-    Returns (sph_cl_packed (S_pad, 8), sph_cl_box (C, 8), n_clusters)."""
+    Returns (sph_cl_packed (S_pad, 9), sph_cl_box (C, 8), n_clusters)."""
     import numpy as np
 
     from art_tpu.ops.bvh import cluster_primitives, sphere_world_bounds
@@ -1003,7 +988,7 @@ def pack_spheres(tables) -> tuple[jnp.ndarray, int, int, tuple]:
 
     Column 8 is the precomputed r*r the kernel's quadratic uses (column 6
     keeps the SIGNED radius for the hollow-glass normal flip).  Each
-    segment is padded to a multiple of max(32, ART_TPU_SPH_UNROLL); pad rows
+    segment is padded to a multiple of lcm(32, ART_TPU_SPH_UNROLL); pad rows
     get r2 = -1 so disc = (oc.d)^2 - |d|^2(|oc|^2 + 1) < 0 strictly
     (Cauchy-Schwarz) and the NaN-reject can never accept them.
 
@@ -1033,7 +1018,10 @@ def pack_spheres(tables) -> tuple[jnp.ndarray, int, int, tuple]:
     # loop's n_moving // UNROLL bound silently DROPS real rows if the pad
     # is finer than UNROLL, and the static loop's ceil bound reads up to
     # the next UNROLL multiple (out of the array if the pad is finer).
-    pad = max(32, _SPH_UNROLL)
+    # lcm(32, UNROLL) keeps every ART_TPU_SPH_UNROLL value safe (a bare
+    # max(32, UNROLL) breaks non-divisors like 24: 2 iterations of 24
+    # cover only 48 of 64 padded rows).
+    pad = 32 * _SPH_UNROLL // math.gcd(32, _SPH_UNROLL)
     sm_pad = -(-len(mov) // pad) * pad if len(mov) else 0
     ss_pad = -(-len(stat) // pad) * pad
     out = np.zeros((sm_pad + ss_pad, 10), np.float32)

@@ -128,9 +128,16 @@ def _detect_box_grid(tables: SceneTables) -> SceneTables:
     fx = (mn[:, 0] - gx0) / w
     fz = (mn[:, 2] - gz0) / w
     kxs, kzs = np.rint(fx).astype(np.int64), np.rint(fz).astype(np.int64)
-    # exact lattice fit in f32 (scene coordinates are compile-time exact)
+    # Exact lattice fit in the KERNEL's arithmetic: box_grid_hit_attrs
+    # reconstructs bounds as f32(x0) + f32(k * w) with f32 roundings at
+    # each step, so the check must round the same way (an int64 * f32
+    # product here would promote to f64 and pass lattices the kernel
+    # reconstructs one ulp off).
+    rx = np.float32(gx0) + kxs.astype(np.float32) * np.float32(w)
+    rz = np.float32(gz0) + kzs.astype(np.float32) * np.float32(w)
     if not (
-        np.all(gx0 + kxs * w == mn[:, 0]) and np.all(gz0 + kzs * w == mn[:, 2])
+        np.all(rx == mn[:, 0].astype(np.float32))
+        and np.all(rz == mn[:, 2].astype(np.float32))
     ):
         return tables
     kx, kz = int(kxs.max()) + 1, int(kzs.max()) + 1
@@ -400,7 +407,11 @@ class _Compiler:
         mat_id = self.mat_id(phase_mat)
         nid = -1.0 / med.density  # src/constant_medium.cuh:25
 
-        if isinstance(node, O.Sphere):
+        if isinstance(node, O.Sphere) and node.center2 is None:
+            # Analytic static-sphere fast path.  A MOVING sphere boundary
+            # must go through the general (kind-2) tables below — they carry
+            # per-ray time and the velocity row; this branch would freeze
+            # the medium at the t=0 center.
             c = inner.apply_point(node.center)
             self.media.append(
                 dict(kind=0, center=c, radius=abs(float(node.radius)),

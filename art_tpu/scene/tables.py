@@ -140,7 +140,7 @@ class SceneTables:
     box_packed: jnp.ndarray  # (B, 12)
     # Cluster-culling copies (BVH-leaf order + per-cluster AABBs; the
     # TPU-native 2-level BVH, ops/pallas_kernels.py)
-    sph_cl_packed: jnp.ndarray  # (S_pad, 8)
+    sph_cl_packed: jnp.ndarray  # (S_pad, 9) [cx cy cz vx vy vz r mat r2]
     sph_cl_box: jnp.ndarray  # (Cs, 8) [min(3) max(3) 0 0]
     box_cl_packed: jnp.ndarray  # (B_pad, 12)
     box_cl_box: jnp.ndarray  # (Cb, 8)
@@ -282,7 +282,7 @@ def empty_tables() -> dict:
         sph_packed=_z((1, 10)),
         quad_packed=_z((1, 12)),
         box_packed=_z((1, 12)),
-        sph_cl_packed=_z((1, 8)),
+        sph_cl_packed=_z((1, 9)),
         sph_cl_box=_z((1, 8)),
         box_cl_packed=_z((1, 12)),
         box_cl_box=_z((1, 8)),

@@ -61,6 +61,18 @@ def test_unaligned_pool_uses_dense():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(data[:100]))
 
 
+def test_giant_atlas_uses_dense():
+    """Atlases past the 24-bit byte-split capacity must take the dense
+    branch (the compact path would silently truncate texel indices)."""
+    big = (1 << 24) + 256
+    data = jnp.zeros((big,), jnp.uint32).at[big - 7].set(jnp.uint32(0xDEAD))
+    flat = jnp.zeros((R,), jnp.int32).at[5].set(big - 7)
+    needy = jnp.zeros((R,), bool).at[5].set(True)
+    got = compact_gather(data, flat, needy, k=1024, interpret=True)
+    assert int(got[5]) == 0xDEAD
+    assert int(got.sum()) == 0xDEAD
+
+
 def test_atlas_sample_needy_matches_dense():
     """ImageAtlas.sample(needy=...) must equal the plain sample on needy
     lanes (the texture-eval integration point)."""

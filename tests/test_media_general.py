@@ -170,6 +170,23 @@ def test_moving_sphere_boundary_uses_ray_time():
     assert not bool(rec1.hit.any())  # sphere moved to x=6 at t=1
 
 
+def test_bare_moving_sphere_boundary_routes_general():
+    """A moving sphere passed DIRECTLY as the boundary (no Group) must not
+    take the analytic static-sphere fast path — that path has no velocity
+    row and would freeze the medium at the t=0 center."""
+    sph = O.Sphere((0, 0, 0), 1.0, _mat(), center2=(6, 0, 0))
+    t = _tables(O.ConstantMedium(sph, 50.0, (1, 1, 1)))
+    assert t.med_kinds == (2,)
+    z = jnp.zeros((R,), jnp.float32)
+    o = (z, z, z - 10.0)
+    d = (z, z, z + 1.0)
+    u = jax.random.uniform(jax.random.PRNGKey(2), (1, R))
+    rec0 = apply_media_p(t, o, d, 0.001, _miss_surf(), u, time=z)
+    rec1 = apply_media_p(t, o, d, 0.001, _miss_surf(), u, time=z + 1.0)
+    assert bool(rec0.hit.all())      # sphere at origin at t=0
+    assert not bool(rec1.hit.any())  # sphere moved to x=6 at t=1
+
+
 def test_nested_medium_boundary_raises():
     inner = O.ConstantMedium(
         O.Box((-1, -1, -1), (1, 1, 1), _mat()), 1.0, (1, 1, 1)

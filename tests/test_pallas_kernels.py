@@ -94,6 +94,53 @@ def test_sphere_kernel_matches_jnp_candidates():
     )
 
 
+def test_sphere_kernel_nondivisor_unroll(monkeypatch):
+    """ART_TPU_SPH_UNROLL values that don't divide 32 (e.g. 24) must not
+    drop real rows or read past the table: pack_spheres pads segments to
+    lcm(32, UNROLL).  Hit sets must equal the jnp path exactly."""
+    import math as _math
+
+    from art_tpu.scene import materials as M
+    from art_tpu.scene import objects as O
+    from art_tpu.scene.builder import SceneBuilder
+
+    monkeypatch.setattr(pk, "_SPH_UNROLL", 24)
+    rng = np.random.default_rng(7)
+    mat = M.Lambertian((0.5, 0.5, 0.5))
+    objs = []
+    for i in range(50):  # moving: 50 % 24 != 0 and 50 > 2*24
+        c = tuple((rng.random(3) - 0.5) * 16.0 + np.array([0.0, 3.0, 0.0]))
+        c2 = tuple(np.asarray(c) + (rng.random(3) - 0.5))
+        objs.append(O.Sphere(c, 0.5 + rng.random(), mat, center2=c2))
+    for i in range(60):  # static: forces the ceil-bound tail reads
+        c = tuple((rng.random(3) - 0.5) * 16.0 + np.array([0.0, 3.0, 0.0]))
+        objs.append(O.Sphere(c, 0.5 + rng.random(), mat))
+    b = SceneBuilder()
+    b.add(*objs)
+    b.set_camera(lookfrom=(0, 3, 20), lookat=(0, 3, 0), vup=(0, 1, 0),
+                 vfov_degrees=40.0, aspect=1.0, aperture=0.0, focus_dist=20.0)
+    tables = b.compile().tables
+
+    lcm = 32 * 24 // _math.gcd(32, 24)
+    assert tables.sph_n_moving_pad % lcm == 0
+    assert tables.sph_packed.shape[0] % lcm == 0
+
+    o, d, tm = _ray_batch(23, RB)
+    t_k, *_ = pk.sphere_hit_attrs_planar(
+        tables.sph_packed, o, d, tm,
+        n_moving=tables.sph_n_moving_pad, n_static=tables.sph_n_static,
+        needs_uv=False, interpret=True,
+    )
+    t_j, _ = intersect.sphere_candidates_p(tables, o, d, tm, T_MIN)
+    np.testing.assert_array_equal(_hit_mask(t_k), _hit_mask(t_j))
+    hit = _hit_mask(t_j)
+    assert hit.any()
+    _assert_two_tier(
+        np.asarray(t_k)[hit], np.asarray(t_j)[hit], tight_rtol=2e-5,
+        tight_atol=1e-5,
+    )
+
+
 def test_sphere_kernel_expanded_matches_standard():
     """The expanded-quadratic static loop (pack_spheres col 9, builder
     sph_expand gate) must agree with the jnp reference path to the same
