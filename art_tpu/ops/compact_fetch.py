@@ -127,3 +127,60 @@ def compact_gather(
         )
 
     return jax.lax.cond(cnt <= K, compact, dense, None)
+
+
+def compact_apply(
+    fn,  # vector function: N (K,)-f32 arrays -> one (K,) f32 array
+    inputs,  # tuple of (R,) f32 arrays (fn's arguments, per ray)
+    needy: jnp.ndarray,  # (R,) bool — lanes whose fn value is consumed
+    *,
+    k: int = 0,  # compacted capacity (0 = FETCH_K); must keep fn's
+    #              alignment requirements (turb_pallas wants K % 8192 == 0)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``where(needy, fn(*inputs), 0)`` — with fn evaluated at only K
+    compacted lanes when few rays need it.
+
+    Same adaptive pipeline as :func:`compact_gather`, but the compacted
+    payload is just the ray id (3 bytes): gather fn's inputs at the K
+    survivor lanes, run fn on the 16x-smaller batch, scatter results back
+    with K updates.  The compaction itself is exact (integer payload);
+    fn's values can differ from an eager dense evaluation in the last
+    ulps because XLA may fuse fn's mul+add chains differently (FMA
+    contraction) inside the compiled cond branches — immaterial for
+    Monte-Carlo shading.  A ``lax.cond`` takes the dense branch whenever
+    cnt > K (e.g. the perlin scene, where every ray evaluates
+    turbulence).  Targets final_scene's 7-octave marble turbulence (one
+    perlin sphere among ~1410 objects — the turb kernel otherwise runs
+    dense at R every bounce; reference analog is the per-thread
+    conditional texture::value call, src/texture.cuh:67-71).
+    """
+    R = inputs[0].shape[0]
+    K = k or FETCH_K
+
+    def dense(_):
+        return jnp.where(needy, fn(*inputs), 0.0)
+
+    if R % RAY_BLOCK != 0 or K % RAY_BLOCK != 0 or R <= K or R > (1 << 24):
+        return dense(None)
+
+    cnt = jnp.sum(needy.astype(jnp.int32))
+
+    def compact(_):
+        needy_i = needy.astype(jnp.int32)
+        rank = jnp.cumsum(needy_i) - needy_i  # exclusive
+        ray_id = jnp.arange(R, dtype=jnp.int32)
+        fb0 = jnp.zeros((K // 128, 3 * 128), jnp.float32)
+        slots = flush_accumulate(
+            rank, needy, _bytes3(ray_id), fb0, interpret=interpret
+        )
+        ch = slots.reshape(K // 128, 3, 128)
+        ch = jnp.moveaxis(ch, 1, 0).reshape(3, K)
+        ray_k = _unbytes3(ch[0], ch[1], ch[2])
+        ray_kc = jnp.clip(ray_k, 0, R - 1)
+        vals = fn(*(x[ray_kc] for x in inputs))
+        # route empty slots (k >= cnt) out of bounds so 'drop' ignores them
+        ray_k = jnp.where(jnp.arange(K, dtype=jnp.int32) < cnt, ray_k, R)
+        return jnp.zeros((R,), jnp.float32).at[ray_k].set(vals, mode="drop")
+
+    return jax.lax.cond(cnt <= K, compact, dense, None)

@@ -1385,6 +1385,23 @@ def box_hit_attrs_planar(
 # ---------------------------------------------------------------------------
 
 
+def _decode_cell(bcell, kz: int):
+    """Split a flat f32 cell id into (ix, iz) lattice coordinates.
+
+    floor(bcell * f32(1/kz)) alone is off by one whenever f32(1/kz)
+    rounds below 1/kz (first at kz=41, where 41*f32(1/41) < 1), so apply
+    the same one-step fixup refill_kernel uses for its reciprocal-floor
+    divisions: clamp iz back into [0, kz) and carry into ix.
+    """
+    ix_f = jnp.floor(bcell * (1.0 / kz))
+    iz_f = bcell - ix_f * kz
+    over = iz_f >= kz
+    under = iz_f < 0
+    ix_f = jnp.where(over, ix_f + 1, jnp.where(under, ix_f - 1, ix_f))
+    iz_f = jnp.where(over, iz_f - kz, jnp.where(under, iz_f + kz, iz_f))
+    return ix_f, iz_f
+
+
 def _box_grid_kernel(hb_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                      t_ref, nx_ref, ny_ref, nz_ref, u_ref, v_ref, mat_ref,
                      zsc,
@@ -1468,8 +1485,7 @@ def _box_grid_kernel(hb_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
     # Reconstruct the winner AABB arithmetically from its cell id (exact:
     # the builder verified x0 + k*w reproduces every box bound bit-for-bit).
-    ix_f = jnp.floor(bcell * (1.0 / kz))
-    iz_f = bcell - ix_f * kz
+    ix_f, iz_f = _decode_cell(bcell, kz)
     mnx = jnp.float32(x0) + ix_f * jnp.float32(w)
     mnz = jnp.float32(z0) + iz_f * jnp.float32(w)
     ones = jnp.ones(ox.shape, jnp.float32)
@@ -1607,8 +1623,7 @@ def _box_grid_static_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     if uni:
         bm = jnp.full(ox.shape, uniform_mat, jnp.float32)
 
-    ix_f = jnp.floor(bcell * (1.0 / kz))
-    iz_f = bcell - ix_f * kz
+    ix_f, iz_f = _decode_cell(bcell, kz)
     mnx = jnp.float32(x0) + ix_f * jnp.float32(w)
     mnz = jnp.float32(z0) + iz_f * jnp.float32(w)
     ones = jnp.ones(ox.shape, jnp.float32)

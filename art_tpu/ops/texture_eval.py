@@ -35,6 +35,7 @@ _TURB_MAX = 7  # noise_texture uses turb(p, 7) (src/texture.cuh:69)
 _DBG = __import__("os").environ.get("ART_TPU_DBG", "")
 _NO_TURB_KERNEL = bool(__import__("os").environ.get("ART_TPU_NO_TURB_KERNEL"))
 _NO_COMPACT_FETCH = bool(__import__("os").environ.get("ART_TPU_NO_COMPACT_FETCH"))
+_COMPACT_TURB = bool(__import__("os").environ.get("ART_TPU_COMPACT_TURB"))
 
 
 def _turb(px, py, pz, depth: int, depth_mask=None):
@@ -142,6 +143,21 @@ def eval_texture_p(
             scale = row[:, 1]
             if "fake_turb" in _DBG:  # perf-debug: dependency-preserving stub
                 tb = 0.1 * (px + py + pz)
+            elif _COMPACT_TURB and u.ndim == 1 and u.shape[0] % 8192 == 0:
+                # opt-in (pending TPU A/B): evaluate the 7-octave kernel at
+                # only the rays whose hit is marble-textured — final_scene
+                # has one perlin sphere among ~1410 objects, so the dense
+                # turb pays ~16x more lanes than consumed.  Adaptive and
+                # exact: turb-dense scenes (perlin) take the dense branch.
+                from art_tpu.core.platform import tpu_paths
+                from art_tpu.ops.compact_fetch import compact_apply
+
+                tb = compact_apply(
+                    lambda x, y, z: _turb(x, y, z, _TURB_MAX),
+                    (px, py, pz),
+                    needy=(ttype == TexType.NOISE),
+                    interpret=not tpu_paths(),
+                )
             else:
                 tb = _turb(px, py, pz, _TURB_MAX)
             t = 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * tb))

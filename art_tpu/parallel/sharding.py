@@ -26,7 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from art_tpu.core import rng as artrng
 from art_tpu.render.integrator import render_wavefront
-from art_tpu.render.renderer import RenderConfig, _render_batch, apply_gamma, plan_batches
+from art_tpu.render.renderer import RenderConfig, apply_gamma, plan_batches
 
 
 def make_mesh(shape: tuple[int, int] | None = None, devices=None) -> Mesh:

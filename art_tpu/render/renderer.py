@@ -73,11 +73,22 @@ def plan_batches(n_pixels: int, spp: int, n_prims_max: int, cfg: RenderConfig):
     even = (n_pixels + n_tiles - 1) // n_tiles
     tile_pixels = min(tile_pixels, (even + 127) // 128 * 128)
     spp_chunk = min(spp, max(1, queue_budget // tile_pixels))
+    # Balance spp chunks like tiles: spp=513 with a 512 cap would render
+    # 2x512=1024 samples (half wasted); 2x257=514 keeps the same chunk
+    # count with ~zero overshoot.
+    n_chunks = -(-spp // spp_chunk)
+    spp_chunk = -(-spp // n_chunks)
     # Never make the pool larger than the queue: padded queue elements are
     # wasted oversampling work (they are normalized out, but cost time).
     n_q = tile_pixels * spp_chunk
     if n_slots > n_q:
-        n_slots = max(256, n_q)
+        if tpu_paths():
+            # Round UP to the Pallas ray block — a non-multiple pool would
+            # silently disable every Pallas path (intersection, fused
+            # refill, flush) via their R % RAY_BLOCK gates.
+            n_slots = -(-n_q // RAY_BLOCK) * RAY_BLOCK
+        else:
+            n_slots = max(256, n_q)
     return tile_pixels, spp_chunk, n_slots
 
 

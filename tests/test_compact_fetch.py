@@ -94,3 +94,77 @@ def test_atlas_sample_needy_matches_dense():
         np.asarray(dense)[np.asarray(needy)],
     )
     assert (np.asarray(compact)[~np.asarray(needy)] == 0).all()
+
+
+def test_compact_apply_matches_dense():
+    """compact_apply must equal where(needy, fn(*inputs), 0).  The routing
+    (which value lands on which lane) must be exact; values may differ
+    from the eager dense reference in the last ulps because XLA fuses
+    fn's mul+add chains (FMA) inside the compiled cond branches."""
+    from art_tpu.ops.compact_fetch import compact_apply
+
+    RR = 2 * R  # must exceed K for the compact branch to engage
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 4)
+    x = jax.random.normal(k0, (RR,), jnp.float32) * 3.0
+    y = jax.random.normal(k1, (RR,), jnp.float32) * 3.0
+    z = jax.random.normal(k2, (RR,), jnp.float32) * 3.0
+    needy = jax.random.uniform(k3, (RR,)) < 0.04
+
+    def fn(a, b, c):
+        return a * a + jnp.floor(b) * c - 3.0 * a
+
+    got = compact_apply(fn, (x, y, z), needy, k=R, interpret=True)
+    want = jnp.where(needy, fn(x, y, z), 0.0)
+    # non-needy lanes must be exactly zero (routing is exact)
+    np.testing.assert_array_equal(
+        np.asarray(got)[~np.asarray(needy)], 0.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_compact_apply_overflow_falls_back():
+    from art_tpu.ops.compact_fetch import compact_apply
+
+    RR = 2 * R
+    x = jnp.linspace(-4.0, 4.0, RR, dtype=jnp.float32)
+    needy = jnp.ones((RR,), bool)
+    got = compact_apply(jnp.sin, (x,), needy, k=R, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(jnp.sin(x)))
+
+
+def test_compact_turb_texture_eval_matches_dense(monkeypatch):
+    """ART_TPU_COMPACT_TURB texture evaluation must match the dense path
+    (up to FMA-contraction ulps) on a batch mixing marble with other
+    texture types, and must not perturb non-marble lanes at all."""
+    from art_tpu.models import build_scene
+    from art_tpu.ops import texture_eval as te
+
+    tables = build_scene("final_scene", 64, 64).tables
+    RR = 2 * R
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(7), 3)
+    p = tuple(jax.random.normal(k, (RR,), jnp.float32) * 100.0 for k in
+              jax.random.split(k0, 3))
+    u = jax.random.uniform(k1, (RR,), jnp.float32)
+    v = jax.random.uniform(k2, (RR,), jnp.float32)
+    # spread hits over every texture row in the scene (incl. the marble)
+    tex_id = (jnp.arange(RR, dtype=jnp.int32) * 31) % tables.tex_packed.shape[0]
+
+    dense = te.eval_texture_p(tables, tex_id, u, v, p)
+    monkeypatch.setattr(te, "_COMPACT_TURB", True)
+    compact = te.eval_texture_p(tables, tex_id, u, v, p)
+    from art_tpu.scene.tables import TexType
+
+    # resolve leaf types (final_scene has no wrapper->noise chains, so the
+    # raw row type identifies the marble lanes)
+    is_noise = np.asarray(
+        tables.tex_packed[np.asarray(tex_id), 0].astype(int)
+    ) == int(TexType.NOISE)
+    assert is_noise.any() and (~is_noise).any()
+    for c in range(3):
+        d, g = np.asarray(dense[c]), np.asarray(compact[c])
+        np.testing.assert_array_equal(d[~is_noise], g[~is_noise])
+        np.testing.assert_allclose(
+            d[is_noise], g[is_noise], rtol=1e-4, atol=1e-5
+        )

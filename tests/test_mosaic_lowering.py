@@ -251,3 +251,31 @@ def test_full_wavefront_step_lowers(scene_name, monkeypatch):
         spp=8, tile_pixels=1024, total_pixels=64 * 64, nx=64, ny=64,
         max_depth=8, gradient_bg=scene.gradient_bg, n_slots=RB,
     ).lower(lowering_platforms=("tpu",))
+
+
+def test_full_wavefront_step_lowers_compact_turb(monkeypatch):
+    """ART_TPU_COMPACT_TURB's compacted-turbulence step (flush-kernel
+    scatter + K-batch turb kernel under lax.cond) must cross-lower inside
+    the full final_scene render step.  Pool = 2x RAY_BLOCK so R > K
+    engages the compact branch (at R <= FETCH_K the gate is dense-only)."""
+    monkeypatch.setenv("ART_TPU_FORCE_PALLAS", "1")
+    from art_tpu.ops import texture_eval as te
+
+    monkeypatch.setattr(te, "_COMPACT_TURB", True)
+    from art_tpu.render.integrator import render_wavefront
+
+    scene = build_scene("final_scene", 64, 64)
+    key = jax.random.PRNGKey(0)
+    bg = jnp.asarray(scene.background, jnp.float32)
+    jitted = jax.jit(
+        render_wavefront,
+        static_argnames=(
+            "spp", "tile_pixels", "total_pixels", "nx", "ny",
+            "max_depth", "gradient_bg", "n_slots",
+        ),
+    )
+    jitted.trace(
+        scene.tables, scene.camera, jnp.int32(0), key=key, background=bg,
+        spp=8, tile_pixels=1024, total_pixels=64 * 64, nx=64, ny=64,
+        max_depth=8, gradient_bg=scene.gradient_bg, n_slots=2 * RB,
+    ).lower(lowering_platforms=("tpu",))

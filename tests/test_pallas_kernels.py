@@ -804,3 +804,18 @@ def test_sphere_static_cells_baked_for_reference_scenes():
     mov_f, main_f, tail_f = tf.sph_static_cells
     assert len(tail_f) == tf.sph_n_tail == 1000
     assert len(mov_f) + len(main_f) + len(tail_f) == tf.n_spheres
+
+
+def test_decode_cell_exact_for_all_small_grids():
+    """Winner-cell decode must invert ix*kz+iz exactly for every grid the
+    builder can accept.  floor(bcell * f32(1/kz)) alone is off by one
+    whenever f32(1/kz) rounds below 1/kz (first at kz=41: 41*f32(1/41)<1);
+    _decode_cell's one-step fixup must repair every such case."""
+    for kz in range(1, 129):
+        kx = max(2, min(64, 4096 // kz))
+        ix = np.repeat(np.arange(kx, dtype=np.float32), kz)
+        iz = np.tile(np.arange(kz, dtype=np.float32), kx)
+        bcell = jnp.asarray(ix * kz + iz)
+        ix_f, iz_f = pk._decode_cell(bcell, kz)
+        np.testing.assert_array_equal(np.asarray(ix_f), ix, err_msg=f"kz={kz}")
+        np.testing.assert_array_equal(np.asarray(iz_f), iz, err_msg=f"kz={kz}")

@@ -176,3 +176,29 @@ def test_windowed_pallas_flush_matches_scatter_flush(monkeypatch):
     np.testing.assert_allclose(got, ref, rtol=6e-3, atol=2e-3)
     # means must match to well under 1%: dropped rays would bias this
     assert abs(got.mean() - ref.mean()) < 2e-4, (got.mean(), ref.mean())
+
+
+def test_plan_batches_balances_spp_chunks():
+    """spp=513 with a 512-cap queue must not render 2x512=1024 samples;
+    chunks are balanced (2x257) like tiles are."""
+    from art_tpu.render.renderer import RenderConfig, plan_batches
+
+    cfg = RenderConfig(nx=1024, ny=1024, spp=513)
+    tile_pixels, spp_chunk, _ = plan_batches(1024 * 1024, 513, 8, cfg)
+    n_chunks = -(-513 // spp_chunk)
+    assert n_chunks * spp_chunk - 513 < n_chunks  # overshoot < 1/chunk
+    assert spp_chunk == 257
+
+
+def test_plan_batches_tpu_slots_ray_block_aligned(monkeypatch):
+    """On the TPU path the slot pool must stay a RAY_BLOCK multiple even
+    when clamped to a small queue — a ragged pool silently disables every
+    Pallas kernel via the R % RAY_BLOCK gates."""
+    monkeypatch.setenv("ART_TPU_FORCE_PALLAS", "1")
+    from art_tpu.ops.pallas_kernels import RAY_BLOCK
+    from art_tpu.render.renderer import RenderConfig, plan_batches
+
+    cfg = RenderConfig(nx=400, ny=225, spp=1)
+    tile_pixels, spp_chunk, n_slots = plan_batches(400 * 225, 1, 8, cfg)
+    assert n_slots % RAY_BLOCK == 0
+    assert n_slots >= tile_pixels * spp_chunk  # pool still covers the queue
