@@ -76,6 +76,21 @@ def _flush_kernel(base_ref, pix_ref, died_ref, *rest,
     hi = jnp.where(ok, hi, n_hi)
 
     rads = tuple(r[:] for r in rad_refs)
+    one_hot_accumulate(
+        hi, lo, rads, out_ref, oh_s, w_s,
+        n_hi=n_hi, n_chan=n_chan, group=group,
+    )
+
+
+def one_hot_accumulate(hi, lo, rads, out_ref, oh_s, w_s,
+                       *, n_hi: int, n_chan: int = 3, group: int = _GROUP):
+    """The shared one-hot MXU scatter body: accumulate each lane's
+    ``rads`` channels into ``out_ref[hi, c*128 + lo]`` by building
+    (n_hi x K) one-hot rows and a (n_chan*128 x K) value operand, then
+    contracting on the MXU.  Lanes routed to row ``n_hi`` are dropped
+    (no one-hot row matches).  Callers: the standalone flush kernel above
+    and the seam-merged refill+flush (ops/refill_kernel._flush_dead) —
+    keep ONE copy so fixes to the flush math apply to both paths."""
     # dim-0 iotas are identical for every lane group: build once
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, _LANES), 0)
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)

@@ -21,8 +21,6 @@ f32-exact integer range).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -67,7 +65,7 @@ def _refill_body(scal_ref, cam_ref,
                  carry_smem, zero_dead_radiance=False):
     """One grid step = one (SUBLANES, LANES) slot block.
 
-    scal_ref (SMEM i32): [s_base, p_base, spp, P, pix_offset, total_pixels,
+    scal_ref (SMEM i32): [p_base, s_base, spp, P, pix_offset, total_pixels,
                           nx, ny]
     cam_ref  (SMEM f32): [origin(3), llc(3), horizontal(3), vertical(3),
                           u(3), v(3), lens_radius, time0, time1]
@@ -252,7 +250,7 @@ def fused_refill_rng(
     state_planes,
     key2: jnp.ndarray,  # (2,) int32 per-iteration seed material
     cam_vec: jnp.ndarray,  # (21,) f32 packed camera
-    scal: jnp.ndarray,  # (8,) i32 [s_base, p_base, spp, P, pix_offset, total, nx, ny]
+    scal: jnp.ndarray,  # (8,) i32 [p_base, s_base, spp, P, pix_offset, total, nx, ny]
     n_media: int,
 ):
     """fused_refill + hardware-PRNG uniforms.
@@ -260,6 +258,7 @@ def fused_refill_rng(
     Returns (new_planes dict, take_count (), u_ball 3-tuple, u_choice,
     u_media tuple of n_media planes)."""
     R = state_planes["ox"].shape[0]
+    assert R % RAY_BLOCK == 0, R  # ragged pools silently truncate the grid
     rows = R // _LANES
     grid = rows // _SUBLANES
     spec = pl.BlockSpec((_SUBLANES, _LANES), lambda i: (i, 0),
@@ -308,12 +307,13 @@ def fused_refill(
     state_planes,  # dict of pool planes, see below
     uniforms,  # (uj0, uj1, ul0, ul1, ut) each (R,)
     cam_vec: jnp.ndarray,  # (21,) f32 packed camera
-    scal: jnp.ndarray,  # (8,) i32 [s_base, p_base, spp, P, pix_offset, total, nx, ny]
+    scal: jnp.ndarray,  # (8,) i32 [p_base, s_base, spp, P, pix_offset, total, nx, ny]
     *,
     interpret: bool = False,
 ):
     """Returns (new_planes dict, take_count ())."""
     R = state_planes["ox"].shape[0]
+    assert R % RAY_BLOCK == 0, R  # ragged pools silently truncate the grid
     rows = R // _LANES
     grid = rows // _SUBLANES
     spec = pl.BlockSpec((_SUBLANES, _LANES), lambda i: (i, 0),
@@ -390,26 +390,9 @@ def _flush_dead(b, base_ref, pix, dead, r0, r1, r2, fb_ref, fbo,
     def _():
         fbo[:] = fb_ref[:]
 
-    rads = (r0, r1, r2)
-    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, _LANES), 0)
-    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
-    for g in range(_SUBLANES // _GROUP):
-        s0 = g * _GROUP
-        for k in range(_GROUP):
-            sl = slice(k * _LANES, (k + 1) * _LANES)
-            hrow = hi[s0 + k : s0 + k + 1, :]
-            lrow = lo[s0 + k : s0 + k + 1, :]
-            oh_s[:, sl] = (hrow == hi_iota).astype(jnp.bfloat16)
-            lmask = (lrow == lo_iota).astype(jnp.bfloat16)
-            for c in range(3):
-                w_s[c * _LANES : (c + 1) * _LANES, sl] = lmask * rads[c][
-                    s0 + k : s0 + k + 1, :
-                ].astype(jnp.bfloat16)
-        fbo[:, :] += jax.lax.dot_general(
-            oh_s[:, :], w_s[:, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    from art_tpu.ops.flush_kernel import one_hot_accumulate
+
+    one_hot_accumulate(hi, lo, (r0, r1, r2), fbo, oh_s, w_s, n_hi=n_hi)
 
 
 def _make_rng_flush_kernel(n_media: int, n_hi: int):
@@ -515,6 +498,7 @@ def fused_refill_flush_rng(
 
     Returns (new_planes, take_count, u_ball, u_choice, u_media, fb_out)."""
     R = state_planes["ox"].shape[0]
+    assert R % RAY_BLOCK == 0, R  # ragged pools silently truncate the grid
     rows = R // _LANES
     grid = rows // _SUBLANES
     n_hi = fb.shape[0]
@@ -579,6 +563,7 @@ def fused_refill_flush(
     """Seam-merged flush+refill, uniforms as inputs (testable in interpret
     mode).  Returns (new_planes, take_count, fb_out)."""
     R = state_planes["ox"].shape[0]
+    assert R % RAY_BLOCK == 0, R  # ragged pools silently truncate the grid
     rows = R // _LANES
     grid = rows // _SUBLANES
     n_hi = fb.shape[0]

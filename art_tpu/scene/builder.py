@@ -339,6 +339,16 @@ class _Compiler:
         return idx
 
     # -- objects --
+    def _prim_mat(self, mat) -> int:
+        """Material id for a primitive; boundary geometry is never shaded
+        (the medium's phase function provides the material,
+        src/constant_medium.cuh:24-28), so skip interning — a unique
+        boundary material would otherwise widen mat/tex tables with dead
+        rows, and a material-less boundary primitive would raise."""
+        if self._in_boundary:
+            return 0
+        return self.mat_id(mat)
+
     def visit(self, obj: O.SceneObject, xf: _Xform, material_override):
         if isinstance(obj, O.Translate):
             off = xf.offset + xf.apply_vector(obj.offset)
@@ -347,7 +357,15 @@ class _Compiler:
             theta = xf.theta + math.radians(obj.degrees)
             self.visit(obj.obj, _Xform(theta, xf.offset), material_override)
         elif isinstance(obj, O.WithMaterial):
-            self.visit(obj.obj, xf, obj.material)
+            # Outermost override wins: the reference's with_material
+            # (src/hittable.cuh:154-178) rewrites rec.mat_ptr AFTER the
+            # inner hit returns, so an outer wrapper's material replaces
+            # whatever an inner with_material set.
+            self.visit(
+                obj.obj, xf,
+                material_override if material_override is not None
+                else obj.material,
+            )
         elif isinstance(obj, O.Sphere):
             mat = material_override or obj.material
             c0 = xf.apply_point(obj.center)
@@ -356,13 +374,13 @@ class _Compiler:
                 vel = c1 - c0
             else:
                 vel = np.zeros(3)
-            self.spheres.append((c0, vel, float(obj.radius), self.mat_id(mat)))
+            self.spheres.append((c0, vel, float(obj.radius), self._prim_mat(mat)))
         elif isinstance(obj, O.Quad):
             mat = material_override or obj.material
             q = xf.apply_point(obj.q)
             u = xf.apply_vector(obj.u)
             v = xf.apply_vector(obj.v)
-            self.quads.append((q, u, v, self.mat_id(mat), bool(obj.inward)))
+            self.quads.append((q, u, v, self._prim_mat(mat), bool(obj.inward)))
         elif isinstance(obj, O.Box):
             mat = material_override or obj.material
             a = np.asarray(obj.a, np.float64)
@@ -371,7 +389,7 @@ class _Compiler:
             bmax = np.maximum(a, b)
             self.boxes.append(
                 (bmin, bmax, math.cos(xf.theta), math.sin(xf.theta),
-                 xf.offset.copy(), self.mat_id(mat))
+                 xf.offset.copy(), self._prim_mat(mat))
             )
         elif isinstance(obj, O.Group):
             for child in obj.children:

@@ -98,7 +98,8 @@ class SceneTables:
     box_mat: jnp.ndarray  # (B,) int32
 
     # ---- constant media (reference src/constant_medium.cuh) ----
-    med_kind: jnp.ndarray  # (C,) int32: 0=sphere boundary, 1=box boundary
+    med_kind: jnp.ndarray  # (C,) int32: 0=sphere boundary, 1=box boundary,
+    #                         2=general boundary (gb_* tables; see med_kinds)
     med_center: jnp.ndarray  # (C,3) sphere center
     med_radius: jnp.ndarray  # (C,)
     med_min: jnp.ndarray  # (C,3) box bounds

@@ -34,6 +34,7 @@ run ART_TPU_DBG=fake_boxes               # grid/box kernel elided
 run ART_TPU_DBG=fake_spheres             # sphere kernel elided
 run ART_TPU_DBG=fake_image               # image texel fetch elided
 run ART_TPU_DBG=fake_turb                # 7-octave perlin turbulence elided
+run ART_TPU_DBG=fake_shade               # material scatter/shade elided
 run ART_TPU_NO_FLUSH=1                   # fb flush elided
 say "--- candidate A/Bs (not ablations) ---"
 run ART_TPU_COMPACT_TURB=1               # compacted marble turbulence

@@ -125,3 +125,55 @@ def test_simple_light_structure():
 def test_unknown_scene_raises():
     with pytest.raises(KeyError):
         build_scene("nope")
+
+
+def test_nested_with_material_outermost_wins():
+    """with_material rewrites rec.mat_ptr AFTER the inner hit returns
+    (src/hittable.cuh:154-178), so in a nested chain the OUTERMOST
+    override is the one the integrator sees."""
+    from art_tpu.scene import materials as M
+    from art_tpu.scene import objects as O
+    from art_tpu.scene.builder import SceneBuilder
+
+    base = M.Lambertian((0.1, 0.1, 0.1))
+    inner = M.Lambertian((0.9, 0.0, 0.0))
+    outer = M.Metal((0.0, 0.9, 0.0), fuzz=0.25)
+    b = SceneBuilder()
+    b.add(O.WithMaterial(O.WithMaterial(O.Sphere((0, 0, 0), 1.0, base), inner), outer))
+    b.set_camera(lookfrom=(0, 0, 5), lookat=(0, 0, 0), vup=(0, 1, 0),
+                 vfov_degrees=40.0, aspect=1.0, aperture=0.0, focus_dist=5.0)
+    t = b.compile().tables
+    mid = int(np.asarray(t.sph_mat)[0])
+    row = np.asarray(t.mat_packed)[mid]
+    from art_tpu.scene.tables import MatType
+    assert int(row[0]) == int(MatType.METAL)
+    assert row[2] == np.float32(0.25)  # fuzz carries the outer override
+
+
+def test_general_boundary_needs_no_material():
+    """Boundary geometry is never shaded; a material-less primitive in a
+    general medium boundary must compile, and a boundary-only material
+    must not widen the mat table."""
+    from art_tpu.scene import materials as M
+    from art_tpu.scene import objects as O
+    from art_tpu.scene.builder import SceneBuilder
+    def build(boundary_mat):
+        b = SceneBuilder()
+        b.add(O.ConstantMedium(
+            O.Group((
+                O.Sphere((0, 0, 0), 1.0, boundary_mat),
+                O.Sphere((0.5, 0, 0), 1.0, boundary_mat),
+            )),
+            0.5,
+            (0.8, 0.8, 0.8),
+        ))
+        b.set_camera(lookfrom=(0, 0, 5), lookat=(0, 0, 0), vup=(0, 1, 0),
+                     vfov_degrees=40.0, aspect=1.0, aperture=0.0,
+                     focus_dist=5.0)
+        return b.compile().tables
+
+    t_none = build(None)  # must not raise
+    assert int(np.asarray(t_none.med_kind)[0]) == 2
+    # a unique boundary material must not intern a dead row
+    t_uniq = build(M.Metal((0.123, 0.456, 0.789), fuzz=0.9))
+    assert t_uniq.mat_packed.shape[0] == t_none.mat_packed.shape[0]
