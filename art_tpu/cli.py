@@ -56,10 +56,34 @@ def main(argv=None) -> int:
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
 
+    if args.platform == "cpu" and os.environ.get("PALLAS_AXON_POOL_IPS"):
+        # A TPU-plugin sitecustomize (if installed) probes its device
+        # tunnel at interpreter startup in every process — before this
+        # function runs — so jax.config alone would still dial (and can
+        # disrupt) concurrent TPU jobs.  Re-exec without the plugin's
+        # trigger env so --platform cpu is genuinely CPU-only.
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS")
+        env["JAX_PLATFORMS"] = "cpu"
+        os.execve(
+            sys.executable,
+            [sys.executable, "-m", "art_tpu.cli", *(argv or sys.argv[1:])],
+            env,
+        )
+
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    if args.sharded and args.checkpoint:
+        print(
+            "error: --checkpoint is not supported with --sharded "
+            "(the sharded driver keeps no resumable state yet); "
+            "drop one of the flags",
+            file=sys.stderr,
+        )
+        return 2
 
     from art_tpu.models import SCENES, build_scene, scene_defaults
     from art_tpu.render.renderer import RenderConfig, render_scene

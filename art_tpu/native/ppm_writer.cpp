@@ -16,17 +16,23 @@
 namespace {
 
 // Writes v (may be negative or > 255 — the no-clamp quirk) as decimal.
+// Negation goes through unsigned so INT64_MIN (a NaN pixel truncated by
+// numpy) prints as -9223372036854775808 like Python, instead of the
+// signed-overflow UB of -v.
 inline char* write_int(char* p, long long v) {
+    unsigned long long u;
     if (v < 0) {
         *p++ = '-';
-        v = -v;
+        u = 0ULL - static_cast<unsigned long long>(v);
+    } else {
+        u = static_cast<unsigned long long>(v);
     }
     char tmp[24];
     int n = 0;
     do {
-        tmp[n++] = static_cast<char>('0' + v % 10);
-        v /= 10;
-    } while (v);
+        tmp[n++] = static_cast<char>('0' + u % 10);
+        u /= 10;
+    } while (u);
     while (n) *p++ = tmp[--n];
     return p;
 }

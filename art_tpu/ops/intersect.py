@@ -37,7 +37,6 @@ from art_tpu.core.vecmath import (
     p_rotate_y,
     p_rotate_y_inv,
     p_stack,
-    p_sub,
     p_unstack,
     p_where,
 )

@@ -67,6 +67,13 @@ class ImageAtlas:
             return ImageAtlas.empty()
         hmax = max(im.shape[0] for im in images)
         wmax = max(im.shape[1] for im in images)
+        if len(images) * hmax * wmax >= 1 << 31:
+            # sample() computes the flat texel index in int32; past 2^31
+            # it would wrap and silently fetch the wrong image's texels.
+            raise ValueError(
+                f"image atlas too large: {len(images)}x{hmax}x{wmax} texels "
+                "overflows the int32 flat index (>= 2^31)"
+            )
         data = np.zeros((len(images), hmax, wmax), np.uint32)
         hs, ws = [], []
         for i, im in enumerate(images):

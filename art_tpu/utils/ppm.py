@@ -71,8 +71,13 @@ def format_ppm(fb: np.ndarray, clamp: bool = False) -> str:
 
     lib = _load_native()
     if lib is not None:
-        # exact worst-case sizing from the widest value actually present
-        digits = len(str(int(np.abs(ints).max()))) + 1 if ints.size else 2
+        # exact worst-case sizing from the widest value actually present;
+        # min/max separately (np.abs(INT64_MIN) — a NaN pixel — is itself
+        # negative, so an abs()-based bound would undersize the buffer)
+        digits = (
+            max(len(str(int(ints.max()))), len(str(int(ints.min())))) + 1
+            if ints.size else 2
+        )
         buf = ctypes.create_string_buffer(3 * (digits + 1) * ny * nx + 64)
         n = lib.ppm_format_body(
             ints.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

@@ -50,3 +50,27 @@ def test_write_ppm_stream():
     buf = io.StringIO()
     write_ppm(fb, buf)
     assert buf.getvalue().startswith("P3\n1 1\n255\n")
+
+
+def test_nan_pixel_native_matches_python():
+    """A NaN pixel truncates to INT64_MIN; the native writer must print it
+    exactly like Python (-9223372036854775808) — negating INT64_MIN with
+    signed arithmetic is UB — and the buffer must be sized off min()/max()
+    separately (abs(INT64_MIN) is itself negative)."""
+    from art_tpu.utils import ppm as ppm_mod
+
+    fb = np.zeros((1, 2, 3), np.float32)
+    fb[0, 1, 0] = np.nan
+    text = format_ppm(fb)
+    want_vals = ["0", "0", "0", "-9223372036854775808", "0", "0"]
+    assert text.strip().splitlines()[3:] == [
+        "0 0 0", "-9223372036854775808 0 0"
+    ] or text.split()[4:] == want_vals
+    # both writers, regardless of whether the native lib built:
+    if ppm_mod._load_native() is not None:
+        lib = ppm_mod._native_lib
+        ppm_mod._native_lib = None
+        try:
+            assert format_ppm(fb) == text
+        finally:
+            ppm_mod._native_lib = lib
