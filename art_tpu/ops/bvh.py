@@ -205,6 +205,10 @@ def box_world_bounds(bmn, bmx, cos_t, sin_t, off):
 
 def pack_bvh(tree: FlatBVH) -> np.ndarray:
     """(M, 8) rows [min(3), max(3), escape, prim] for kernel consumption."""
+    # escape links / prim indices ride f32 columns: exact only below 2^24
+    assert tree.n_nodes < (1 << 24), tree.n_nodes
+    if tree.prim.size:
+        assert int(np.max(tree.prim)) < (1 << 24), "prim index exceeds f32 width"
     out = np.zeros((tree.n_nodes, 8), np.float32)
     out[:, 0:3] = tree.bbox_min
     out[:, 3:6] = tree.bbox_max

@@ -14,6 +14,7 @@ texture rows, winner-primitive rows).  Two mitigations:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 ONEHOT_MAX = 192
@@ -26,5 +27,13 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         onehot = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]).astype(
             table.dtype
         )
-        return jnp.dot(onehot, table, preferred_element_type=table.dtype)
+        # HIGHEST: the TPU default dot rounds operands to bf16, which
+        # would silently fetch bf16(table[idx]) — full-f32 passes keep
+        # the fetched rows bit-equal to the gather path (same guard as
+        # the MXU kernels in ops/pallas_kernels.py).
+        return jnp.dot(
+            onehot, table,
+            preferred_element_type=table.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return table[idx]

@@ -88,24 +88,23 @@ def _noise(px, py, pz):
 
 
 def _turb_kernel(px_ref, py_ref, pz_ref, out_ref, *, depth: int):
-    px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
-    accum = jnp.zeros_like(px)
-    weight = 1.0
-    for _ in range(depth):
-        accum = accum + weight * _noise(px, py, pz)
-        weight *= 0.5
-        px, py, pz = px * 2.0, py * 2.0, pz * 2.0
-    out_ref[:] = jnp.abs(accum)
+    _turb_body(px_ref, py_ref, pz_ref, None, out_ref, depth=depth)
 
 
 def _turb_kernel_masked(px_ref, py_ref, pz_ref, dm_ref, out_ref, *, depth: int):
+    _turb_body(px_ref, py_ref, pz_ref, dm_ref, out_ref, depth=depth)
+
+
+def _turb_body(px_ref, py_ref, pz_ref, dm_ref, out_ref, *, depth: int):
+    """Shared octave loop; dm_ref=None compiles the unmasked form (the
+    per-lane where() drops out entirely, keeping it cost-free)."""
     px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
-    dm = dm_ref[:]
+    dm = None if dm_ref is None else dm_ref[:]
     accum = jnp.zeros_like(px)
     weight = 1.0
     for i in range(depth):
         term = weight * _noise(px, py, pz)
-        accum = accum + jnp.where(i < dm, term, 0.0)
+        accum = accum + (term if dm is None else jnp.where(i < dm, term, 0.0))
         weight *= 0.5
         px, py, pz = px * 2.0, py * 2.0, pz * 2.0
     out_ref[:] = jnp.abs(accum)
