@@ -168,7 +168,27 @@ def eval_texture_p(
             k, amp, f = row[:, 1], row[:, 2], row[:, 3]
             oct = row[:, 4].astype(jnp.int32)
             un = px * row[:, 5] + py * row[:, 6] + pz * row[:, 7]
-            wig = _turb(px * f, py * f, pz * f, _TURB_MAX, depth_mask=oct)
+            if "fake_turb" in _DBG:  # perf-debug: dependency-preserving stub
+                wig = 0.1 * (px + py + pz) * f + 1e-8 * oct.astype(jnp.float32)
+            elif _COMPACT_TURB and u.ndim == 1 and u.shape[0] % 8192 == 0:
+                # same compaction as the marble branch: original_scene has
+                # ONE noodle sphere among ~1410 objects (src/main.cu:617),
+                # so the dense 7-octave turb pays ~16x more lanes than
+                # consumed.  The per-lane octave count rides the compaction
+                # as an f32 plane (small ints are exact through the cast).
+                from art_tpu.core.platform import tpu_paths
+                from art_tpu.ops.compact_fetch import compact_apply
+
+                wig = compact_apply(
+                    lambda x, y, z, o: _turb(
+                        x, y, z, _TURB_MAX, depth_mask=o.astype(jnp.int32)
+                    ),
+                    (px * f, py * f, pz * f, oct.astype(jnp.float32)),
+                    needy=(ttype == TexType.NOODLE),
+                    interpret=not tpu_paths(),
+                )
+            else:
+                wig = _turb(px * f, py * f, pz * f, _TURB_MAX, depth_mask=oct)
             stripes = jnp.abs(jnp.sin(k * un + amp * wig))
             t = _smoothstep(0.75, 0.98, stripes)
             col = (

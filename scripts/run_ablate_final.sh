@@ -38,5 +38,16 @@ run ART_TPU_DBG=fake_shade               # material scatter/shade elided
 run ART_TPU_NO_FLUSH=1                   # fb flush elided
 say "--- candidate A/Bs (not ablations) ---"
 run ART_TPU_COMPACT_TURB=1               # compacted marble turbulence
+
+# original_scene: compacted NOODLE turbulence (same flag; one noodle
+# sphere among ~1410 objects).  fake_turb first to bound the win.
+runo() { # runo ENVSPEC...
+  say "original: $*"
+  flock "$LOCK" env "$@" python scripts/exp_shortpath.py original_scene 800 800 500 \
+    >> "$LOG" 2>&1
+  say "rc=$?"
+}
+runo ART_TPU_DBG=fake_turb               # dense-noodle-turb cost bound
+runo ART_TPU_COMPACT_TURB=1              # compacted noodle turbulence
 say "ALL DONE (candidates)"
 say "ALL DONE"

@@ -168,3 +168,37 @@ def test_compact_turb_texture_eval_matches_dense(monkeypatch):
         np.testing.assert_allclose(
             d[is_noise], g[is_noise], rtol=1e-4, atol=1e-5
         )
+
+
+def test_compact_turb_noodle_matches_dense(monkeypatch):
+    """The NOODLE branch rides the same compaction (original_scene has one
+    noodle sphere among ~1410 objects, src/main.cu:617): compacted texture
+    eval must match dense on noodle lanes (FMA ulps) and leave every other
+    lane untouched.  The per-lane octave count must survive the f32 ride."""
+    from art_tpu.models import build_scene
+    from art_tpu.ops import texture_eval as te
+    from art_tpu.scene.tables import TexType
+
+    tables = build_scene("original_scene", 64, 64).tables
+    RR = 2 * R
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(13), 3)
+    p = tuple(jax.random.normal(k, (RR,), jnp.float32) * 100.0 for k in
+              jax.random.split(k0, 3))
+    u = jax.random.uniform(k1, (RR,), jnp.float32)
+    v = jax.random.uniform(k2, (RR,), jnp.float32)
+    tex_id = (jnp.arange(RR, dtype=jnp.int32) * 29) % tables.tex_packed.shape[0]
+
+    dense = te.eval_texture_p(tables, tex_id, u, v, p)
+    monkeypatch.setattr(te, "_COMPACT_TURB", True)
+    compact = te.eval_texture_p(tables, tex_id, u, v, p)
+
+    is_noodle = np.asarray(
+        tables.tex_packed[np.asarray(tex_id), 0].astype(int)
+    ) == int(TexType.NOODLE)
+    assert is_noodle.any() and (~is_noodle).any()
+    for c in range(3):
+        d, g = np.asarray(dense[c]), np.asarray(compact[c])
+        np.testing.assert_array_equal(d[~is_noodle], g[~is_noodle])
+        np.testing.assert_allclose(
+            d[is_noodle], g[is_noodle], rtol=1e-4, atol=1e-5
+        )

@@ -184,6 +184,12 @@ def test_turbulence_kernel_lowers():
 
     p = tuple(jnp.zeros((RB,), jnp.float32) for _ in range(3))
     _lower_tpu(lambda px, py, pz: turb_pallas(px, py, pz, depth=7), *p)
+    # per-lane octave count (NOODLE textures) adds an input plane
+    dm = jnp.zeros((RB,), jnp.int32)
+    _lower_tpu(
+        lambda px, py, pz, dm: turb_pallas(px, py, pz, depth=7, depth_mask=dm),
+        *p, dm,
+    )
 
 
 def test_refill_kernels_lower(bouncing):
@@ -253,18 +259,21 @@ def test_full_wavefront_step_lowers(scene_name, monkeypatch):
     ).lower(lowering_platforms=("tpu",))
 
 
-def test_full_wavefront_step_lowers_compact_turb(monkeypatch):
+@pytest.mark.parametrize("scene_name", ["final_scene", "original_scene"])
+def test_full_wavefront_step_lowers_compact_turb(scene_name, monkeypatch):
     """ART_TPU_COMPACT_TURB's compacted-turbulence step (flush-kernel
     scatter + K-batch turb kernel under lax.cond) must cross-lower inside
-    the full final_scene render step.  Pool = 2x RAY_BLOCK so R > K
-    engages the compact branch (at R <= FETCH_K the gate is dense-only)."""
+    the full render step — final_scene routes the marble (NOISE) branch,
+    original_scene the NOODLE branch (per-lane octave plane).  Pool = 2x
+    RAY_BLOCK so R > K engages the compact branch (at R <= FETCH_K the
+    gate is dense-only)."""
     monkeypatch.setenv("ART_TPU_FORCE_PALLAS", "1")
     from art_tpu.ops import texture_eval as te
 
     monkeypatch.setattr(te, "_COMPACT_TURB", True)
     from art_tpu.render.integrator import render_wavefront
 
-    scene = build_scene("final_scene", 64, 64)
+    scene = build_scene(scene_name, 64, 64)
     key = jax.random.PRNGKey(0)
     bg = jnp.asarray(scene.background, jnp.float32)
     jitted = jax.jit(
