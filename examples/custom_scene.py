@@ -8,7 +8,27 @@ transforms, a smoke medium with a Group boundary, and the renderer API.
 """
 
 import argparse
+import os
 import sys
+
+# Make `python examples/custom_scene.py` work from any cwd without an
+# installed package: the repo root (this file's parent's parent) hosts
+# art_tpu/.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# --platform cpu must be genuinely tunnel-free: the axon sitecustomize
+# (if installed) probes the TPU tunnel at `import jax` in EVERY process —
+# and art_tpu imports jax below, before argparse runs.  Re-exec without
+# the plugin's trigger env first (same pattern as art_tpu/cli.py).
+if os.environ.get("PALLAS_AXON_POOL_IPS") and (
+    "--platform=cpu" in sys.argv[1:]
+    or ("--platform" in sys.argv[1:]
+        and sys.argv[sys.argv.index("--platform") + 1 :][:1] == ["cpu"])
+):
+    _env = dict(os.environ)
+    _env.pop("PALLAS_AXON_POOL_IPS")
+    _env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable, [sys.executable, *sys.argv], _env)
 
 from art_tpu.render.renderer import RenderConfig, render_scene
 from art_tpu.scene.builder import SceneBuilder

@@ -1,8 +1,21 @@
 """Calibrate CI parity thresholds: render every scene tiny on CPU and print
 correlation vs candidate goldens (helps pick mappings + thresholds)."""
 
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import os
 import sys
 import time
+
+# CPU-only by design: re-exec tunnel-free BEFORE jax import so the axon
+# sitecustomize never dials the TPU tunnel (see CLAUDE.md).
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    _env = dict(os.environ)
+    _env.pop("PALLAS_AXON_POOL_IPS")
+    _env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable, [sys.executable, *sys.argv], _env)
 
 import jax
 jax.config.update("jax_platforms", "cpu")

@@ -4,6 +4,10 @@ Renders the same small frame with two flush modes (passed as argv) in one
 process by monkeypatching integrator._FLUSH_ENV, and compares.
 """
 
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np

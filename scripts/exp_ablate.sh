@@ -1,9 +1,12 @@
 #!/bin/bash
 # Production-loop ablation budget (real TPU), all at spp=100.
+# Every python invocation holds /tmp/tpu.lock (CLAUDE.md one-process rule)
+# and uses the persistent compile cache.
 cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 run() {
   echo "=== $1 ==="
-  env $2 PYTHONPATH=/root/repo:$PYTHONPATH python -u - <<'PY'
+  flock /tmp/tpu.lock env $2 PYTHONPATH=/root/repo:$PYTHONPATH python -u - <<'PY'
 from art_tpu.models import build_scene
 from art_tpu.render.renderer import RenderConfig, render_scene
 scene = build_scene("bouncing_spheres", 1200, 800)

@@ -10,6 +10,10 @@ gathers; see docs/PERF_NOTES.md on microbenchmark methodology).
 Usage: python scripts/exp_bvh_descent.py [variant ...] with variants in
 {bvh, brute_jnp, pallas}; defaults to all three.
 """
+
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 import time

@@ -1,9 +1,12 @@
 #!/bin/bash
 # Measure bouncing_spheres throughput per flush mode (real TPU).
+# Every python invocation holds /tmp/tpu.lock (CLAUDE.md one-process rule)
+# and uses the persistent compile cache.
 cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 for mode in aos drop planar planar_drop; do
   echo "=== FLUSH=$mode ==="
-  ART_TPU_FLUSH=$mode PYTHONPATH=/root/repo:$PYTHONPATH python -u - <<'PY'
+  flock /tmp/tpu.lock env ART_TPU_FLUSH=$mode PYTHONPATH=/root/repo:$PYTHONPATH python -u - <<'PY'
 import time
 from art_tpu.models import build_scene
 from art_tpu.render.renderer import RenderConfig, render_scene

@@ -1,5 +1,9 @@
 """End-to-end render throughput: cluster culling on vs off (real TPU)."""
 
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -12,6 +12,10 @@ are read at import):
       env $v python scripts/exp_shortpath.py quads 1200 600 500
     done
 """
+
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 
@@ -31,7 +35,7 @@ def main():
     spp = int(sys.argv[4]) if len(sys.argv) > 4 else 500
     tag = ",".join(
         f"{k}={os.environ[k]}" for k in sorted(os.environ)
-        if k.startswith("ART_TPU_") and k != "ART_TPU_SPH_UNROLL"
+        if k.startswith("ART_TPU_")
     ) or "full"
     scene = build_scene(name, nx, ny)
     cfg = RenderConfig(nx=nx, ny=ny, spp=spp)

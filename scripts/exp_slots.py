@@ -5,6 +5,10 @@ tpu_slots values.  Bigger pools amortize per-iteration fixed costs (scatter
 target, fusion launch overheads) against linear VPU work.
 """
 
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -9,6 +9,10 @@ Validated against the production kernel, then timed on a realistic ray mix
 (coherent camera-primary blocks + incoherent bounce rays).
 """
 
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import sys
 import time

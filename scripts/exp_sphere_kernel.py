@@ -4,6 +4,10 @@ Each variant runs ITERS iterations with the output t feeding back into the
 ray time input (prevents DCE, keeps data on-chip). Reports ms/iter.
 """
 
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import sys
 import time

@@ -7,6 +7,10 @@ v6  v2 keypack but moving=False (cost of the 3 center FMAs)
 v7  keypack + no sqrt (disc-only pseudo metric) -> sqrt cost
 """
 
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import sys
 import time

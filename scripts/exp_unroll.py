@@ -5,6 +5,10 @@ If each fori iteration costs ~600 cycles of pipeline overhead, UNROLL
 8 -> 16 -> 32 -> full should approach the pure-ALU floor (~0.6-0.7 ms).
 """
 
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import sys
 import time

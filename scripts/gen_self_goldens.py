@@ -8,9 +8,22 @@ against these within Monte-Carlo tolerance, so regressions in media/
 emission/dielectric code turn CI red even without a reference image.
 """
 
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import sys
+
+# CPU-only by design: re-exec tunnel-free BEFORE jax import so the axon
+# sitecustomize never dials the TPU tunnel (it would disrupt concurrent
+# TPU jobs and hang during outages — see CLAUDE.md).
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    _env = dict(os.environ)
+    _env.pop("PALLAS_AXON_POOL_IPS")
+    _env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable, [sys.executable, *sys.argv], _env)
 
 import jax
 jax.config.update("jax_platforms", "cpu")

@@ -13,6 +13,10 @@ docstring-quoted numbers flagged in VERDICT r1 weakness #3).
 Usage: python scripts/parity_report.py [scene ...]
 """
 
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import sys

@@ -13,6 +13,10 @@ The stubs are dependency-preserving (docs/PERF_NOTES.md): each variant's
 delta vs the full run charges that stage without letting XLA DCE the rest.
 """
 
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import sys
 

@@ -14,6 +14,10 @@ warm-up understated the 500-spp scenes ~3x (quads 76.6 vs 258 Mrays/s
 steady-state).  Pass --cold to reproduce the old behavior.
 """
 
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import sys

@@ -11,6 +11,10 @@ by self-time if the xplane parser is available (falls back to listing the
 trace files otherwise).
 """
 
+import os as _os, sys as _sys
+# importable from any cwd without PYTHONPATH: repo root hosts art_tpu/
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import glob
 import os
 import sys
