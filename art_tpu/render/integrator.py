@@ -94,6 +94,15 @@ _NO_FLUSH = bool(__import__("os").environ.get("ART_TPU_NO_FLUSH"))
 _FLUSH_ENV = __import__("os").environ.get("ART_TPU_FLUSH", "auto")
 _NO_KERNEL_RNG = bool(__import__("os").environ.get("ART_TPU_NO_KERNEL_RNG"))
 _SEAM_FLUSH = bool(__import__("os").environ.get("ART_TPU_SEAM_FLUSH"))
+# Adaptive small flush window (opt-in, rows; 0 = off): the static window
+# n_hi_win is sized for the WORST-case live-pixel span (a ray surviving all
+# max_depth bounces while the queue advances R/iter), but the typical span
+# is ~10x smaller (queue advances by deaths/iter ~0.4R, and bounce-10+
+# survivors are <1% of the pool).  The MXU flush cost is linear in window
+# rows, so flush through a small window whenever this iteration's died
+# pixels actually fit it, falling back to the proven n_hi_win window (an
+# exact lax.cond — never an approximation) otherwise.
+_FLUSH_WIN = int(__import__("os").environ.get("ART_TPU_FLUSH_WIN", "0"))
 
 
 def _flush_mode(R: int) -> str:
@@ -512,13 +521,36 @@ def render_wavefront(
                     jax.lax.shift_right_logical(minpix, 7),
                     0, n_hi_pallas - n_hi_win,
                 )
-                window = jax.lax.dynamic_slice(
-                    st.fb, (base, 0), (n_hi_win, 384)
-                )
-                slab = flush_accumulate(
-                    pix, died, radiance, window, base=base, interpret=interp
-                )
-                fb = jax.lax.dynamic_update_slice(st.fb, slab, (base, 0))
+
+                def _win_flush(fb0, b, rows):
+                    window = jax.lax.dynamic_slice(fb0, (b, 0), (rows, 384))
+                    slab = flush_accumulate(
+                        pix, died, radiance, window, base=b, interpret=interp
+                    )
+                    return jax.lax.dynamic_update_slice(fb0, slab, (b, 0))
+
+                n_win2 = (_FLUSH_WIN // 8) * 8
+                if 0 < n_win2 < n_hi_win:
+                    # adaptive small window: exact whenever this
+                    # iteration's died rows fit it (no-died iterations
+                    # vacuously fit: maxrow 0 < base2 + n_win2 since
+                    # base2 >= 0 and n_win2 >= 8)
+                    base2 = jnp.clip(
+                        jax.lax.shift_right_logical(minpix, 7),
+                        0, n_hi_pallas - n_win2,
+                    )
+                    maxrow = jax.lax.shift_right_logical(
+                        jnp.max(jnp.where(died, pix, jnp.int32(0))), 7
+                    )
+                    fits = maxrow < base2 + n_win2
+                    fb = jax.lax.cond(
+                        fits,
+                        lambda fb0: _win_flush(fb0, base2, n_win2),
+                        lambda fb0: _win_flush(fb0, base, n_hi_win),
+                        st.fb,
+                    )
+                else:
+                    fb = _win_flush(st.fb, base, n_hi_win)
             else:
                 fb = flush_accumulate(
                     pix, died, radiance, st.fb, interpret=interp

@@ -49,5 +49,27 @@ runo() { # runo ENVSPEC...
 }
 runo ART_TPU_DBG=fake_turb               # dense-noodle-turb cost bound
 runo ART_TPU_COMPACT_TURB=1              # compacted noodle turbulence
+
+# adaptive small flush window (cond fallback to the worst-case window);
+# the static window is ~112 rows at official configs, typical live span
+# ~10 rows — MXU flush cost is linear in rows.
+run ART_TPU_FLUSH_WIN=24                 # final_scene
+run ART_TPU_FLUSH_WIN=48
+runb() { # runb ENVSPEC...
+  say "bouncing: $*"
+  flock "$LOCK" env "$@" python scripts/exp_shortpath.py bouncing_spheres 1200 800 500 \
+    >> "$LOG" 2>&1
+  say "rc=$?"
+}
+runb ART_TPU_FLUSH_WIN=24
+runb ART_TPU_FLUSH_WIN=48
+runq() { # runq ENVSPEC...
+  say "quads: $*"
+  flock "$LOCK" env "$@" python scripts/exp_shortpath.py quads 1200 600 500 \
+    >> "$LOG" 2>&1
+  say "rc=$?"
+}
+runq X=1                                 # warm baseline for the pair
+runq ART_TPU_FLUSH_WIN=24
 say "ALL DONE (candidates)"
 say "ALL DONE"

@@ -259,6 +259,35 @@ def test_full_wavefront_step_lowers(scene_name, monkeypatch):
     ).lower(lowering_platforms=("tpu",))
 
 
+def test_full_wavefront_step_lowers_adaptive_flush_window(monkeypatch):
+    """ART_TPU_FLUSH_WIN's lax.cond over two flush window shapes must
+    cross-lower inside the full render step."""
+    monkeypatch.setenv("ART_TPU_FORCE_PALLAS", "1")
+    from art_tpu.render import integrator
+
+    monkeypatch.setattr(integrator, "_FLUSH_WIN", 16)
+    from art_tpu.render.integrator import render_wavefront
+
+    scene = build_scene("bouncing_spheres", 256, 128)
+    key = jax.random.PRNGKey(0)
+    bg = jnp.asarray(scene.background, jnp.float32)
+    jitted = jax.jit(
+        render_wavefront,
+        static_argnames=(
+            "spp", "tile_pixels", "total_pixels", "nx", "ny",
+            "max_depth", "gradient_bg", "n_slots",
+        ),
+    )
+    # tile_pixels 32768 -> n_hi_pallas 256 with a 24-row worst-case window
+    # (R=8192, spp=50, depth=8): both the small (16) and fallback windows
+    # exist and the cond composes them
+    jitted.trace(
+        scene.tables, scene.camera, jnp.int32(0), key=key, background=bg,
+        spp=50, tile_pixels=32768, total_pixels=256 * 128, nx=256, ny=128,
+        max_depth=8, gradient_bg=scene.gradient_bg, n_slots=RB,
+    ).lower(lowering_platforms=("tpu",))
+
+
 @pytest.mark.parametrize("scene_name", ["final_scene", "original_scene"])
 def test_full_wavefront_step_lowers_compact_turb(scene_name, monkeypatch):
     """ART_TPU_COMPACT_TURB's compacted-turbulence step (flush-kernel

@@ -178,6 +178,34 @@ def test_windowed_pallas_flush_matches_scatter_flush(monkeypatch):
     assert abs(got.mean() - ref.mean()) < 2e-4, (got.mean(), ref.mean())
 
 
+def test_adaptive_small_flush_window_matches_scatter_flush(monkeypatch):
+    """ART_TPU_FLUSH_WIN (adaptive small window + exact cond fallback to
+    the worst-case window) must reproduce the scatter-flush image.  The
+    window is set SMALLER than the typical live band so the fallback
+    branch is genuinely taken some iterations, and big enough that the
+    small branch is too."""
+    import numpy as np
+
+    from art_tpu.models import build_scene
+    from art_tpu.render import integrator, renderer
+    from art_tpu.render.renderer import RenderConfig, render_scene
+
+    scene = build_scene("three_spheres", 128, 90)
+    cfg = RenderConfig(
+        nx=128, ny=90, spp=32, max_depth=8,
+        max_slots=8192, batch_budget=1 << 30,
+    )
+
+    monkeypatch.setattr(integrator, "_FLUSH_ENV", "aos")
+    ref, _ = render_scene(scene, cfg)
+    renderer._wavefront_jit.clear_cache()
+    monkeypatch.setattr(integrator, "_FLUSH_ENV", "pallas")
+    monkeypatch.setattr(integrator, "_FLUSH_WIN", 8)
+    got, _ = render_scene(scene, cfg)
+    np.testing.assert_allclose(got, ref, rtol=6e-3, atol=2e-3)
+    assert abs(got.mean() - ref.mean()) < 2e-4, (got.mean(), ref.mean())
+
+
 def test_plan_batches_balances_spp_chunks():
     """spp=513 with a 512-cap queue must not render 2x512=1024 samples;
     chunks are balanced (2x257) like tiles are."""
