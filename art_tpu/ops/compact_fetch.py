@@ -129,6 +129,33 @@ def compact_gather(
     return jax.lax.cond(cnt <= K, compact, dense, None)
 
 
+def compact_ray_ids(
+    needy: jnp.ndarray,  # (R,) bool
+    k: int,  # compacted capacity (multiple of 128)
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(k,) int32: slot j = ray id of the j-th needy lane (queue order).
+
+    Slots at or beyond the needy count are garbage (zero) — route them
+    out of range before scattering through them.  This is the shared
+    one-hot-MXU compaction step of :func:`compact_apply` and the
+    compacted tail-sphere pass (ops/compact_sphere.py); requires
+    ``R % RAY_BLOCK == 0``, ``k % 128 == 0`` and ``R < 2^24`` (byte-split
+    payload), which callers gate statically."""
+    R = needy.shape[0]
+    needy_i = needy.astype(jnp.int32)
+    rank = jnp.cumsum(needy_i) - needy_i  # exclusive
+    ray_id = jnp.arange(R, dtype=jnp.int32)
+    fb0 = jnp.zeros((k // 128, 3 * 128), jnp.float32)
+    slots = flush_accumulate(
+        rank, needy, _bytes3(ray_id), fb0, interpret=interpret
+    )
+    ch = slots.reshape(k // 128, 3, 128)
+    ch = jnp.moveaxis(ch, 1, 0).reshape(3, k)
+    return _unbytes3(ch[0], ch[1], ch[2])
+
+
 def compact_apply(
     fn,  # vector function: N (K,)-f32 arrays -> one (K,) f32 array
     inputs,  # tuple of (R,) f32 arrays (fn's arguments, per ray)
@@ -167,16 +194,7 @@ def compact_apply(
     cnt = jnp.sum(needy.astype(jnp.int32))
 
     def compact(_):
-        needy_i = needy.astype(jnp.int32)
-        rank = jnp.cumsum(needy_i) - needy_i  # exclusive
-        ray_id = jnp.arange(R, dtype=jnp.int32)
-        fb0 = jnp.zeros((K // 128, 3 * 128), jnp.float32)
-        slots = flush_accumulate(
-            rank, needy, _bytes3(ray_id), fb0, interpret=interpret
-        )
-        ch = slots.reshape(K // 128, 3, 128)
-        ch = jnp.moveaxis(ch, 1, 0).reshape(3, K)
-        ray_k = _unbytes3(ch[0], ch[1], ch[2])
+        ray_k = compact_ray_ids(needy, K, interpret=interpret)
         ray_kc = jnp.clip(ray_k, 0, R - 1)
         vals = fn(*(x[ray_kc] for x in inputs))
         # route empty slots (k >= cnt) out of bounds so 'drop' ignores them

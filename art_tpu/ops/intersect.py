@@ -145,6 +145,13 @@ _SPH_EXPAND_MIN_STATIC = 768
 # the builder gates say they apply.
 _NO_SPH_TAIL = bool(os.environ.get("ART_TPU_NO_SPH_TAIL"))
 _NO_SPH_POS_R = bool(os.environ.get("ART_TPU_NO_SPH_POS_R"))
+# Compacted tail-sphere pass (ops/compact_sphere.py): slab-cull the
+# uniform 1000-ball cluster and run its rows at K << R compacted lanes
+# (adaptive lax.cond, exact).  Opt-in pending TPU A/B; gated on a >= 512
+# row tail so it only triggers on final_scene/original_scene-class
+# clusters.
+_COMPACT_SPH = bool(os.environ.get("ART_TPU_COMPACT_SPH"))
+_COMPACT_SPH_MIN_TAIL = 512
 # Per-ray BVH descent for spheres (opt-in): the direct analog of the
 # reference's log-n bvh_node::hit (src/bvh.cuh:95-106).  Measured on v5e
 # it loses by an order of magnitude to the brute-force vector kernels —
@@ -537,28 +544,48 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                     needs_uv=needs_uv,
                 )
             else:
-                t_s, n_s, u_s, v_s, m_s = pk.sphere_hit_attrs_planar(
-                    tables.sph_packed, o, d, time,
-                    n_moving=tables.sph_n_moving_pad,
-                    n_static=tables.sph_n_static,
-                    needs_uv=needs_uv,
-                    # ART_TPU_SPH_EXPAND is a true force: it overrides both
-                    # the builder precision gate and the count gate (an A/B
-                    # that silently measured the non-expanded loop would
-                    # record wrong numbers).  Default: precision AND count.
-                    expand=not _NO_SPH_EXPAND
-                    and (
-                        _FORCE_SPH_EXPAND
-                        or (
-                            tables.sph_expand
-                            and tables.sph_n_static >= _SPH_EXPAND_MIN_STATIC
-                        )
-                    ),
-                    n_tail=0 if _NO_SPH_TAIL else tables.sph_n_tail,
-                    tail_r=tables.sph_tail_r,
-                    tail_mat=tables.sph_tail_mat,
-                    pos_r=tables.sph_pos_r and not _NO_SPH_POS_R,
+                # ART_TPU_SPH_EXPAND is a true force: it overrides both
+                # the builder precision gate and the count gate (an A/B
+                # that silently measured the non-expanded loop would
+                # record wrong numbers).  Default: precision AND count.
+                expand = not _NO_SPH_EXPAND and (
+                    _FORCE_SPH_EXPAND
+                    or (
+                        tables.sph_expand
+                        and tables.sph_n_static >= _SPH_EXPAND_MIN_STATIC
+                    )
                 )
+                pos_r = tables.sph_pos_r and not _NO_SPH_POS_R
+                from art_tpu.ops.compact_sphere import SPH_K
+
+                if (
+                    _COMPACT_SPH
+                    and not _NO_SPH_TAIL
+                    and tables.sph_n_tail >= _COMPACT_SPH_MIN_TAIL
+                    and tables.sph_tail_box
+                    and R > SPH_K
+                    and R < (1 << 24)
+                ):
+                    from art_tpu.ops.compact_sphere import (
+                        sphere_hit_attrs_split,
+                    )
+
+                    t_s, n_s, u_s, v_s, m_s = sphere_hit_attrs_split(
+                        tables, o, d, time,
+                        needs_uv=needs_uv, expand=expand, pos_r=pos_r,
+                    )
+                else:
+                    t_s, n_s, u_s, v_s, m_s = pk.sphere_hit_attrs_planar(
+                        tables.sph_packed, o, d, time,
+                        n_moving=tables.sph_n_moving_pad,
+                        n_static=tables.sph_n_static,
+                        needs_uv=needs_uv,
+                        expand=expand,
+                        n_tail=0 if _NO_SPH_TAIL else tables.sph_n_tail,
+                        tail_r=tables.sph_tail_r,
+                        tail_mat=tables.sph_tail_mat,
+                        pos_r=pos_r,
+                    )
             sph_attrs = (n_s, u_s, v_s, m_s)
         else:
             t_s, idx_s = sphere_candidates_p(tables, o, d, time, t_min)

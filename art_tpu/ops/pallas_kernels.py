@@ -1039,6 +1039,42 @@ def pack_spheres(tables) -> tuple[jnp.ndarray, int, int, tuple]:
     return jnp.asarray(out), sm_pad, len(stat), (n_tail, tail_r, tail_mat, pos_r)
 
 
+def pack_tail_spheres(sph_packed, n_moving_pad: int, n_static: int,
+                      n_tail: int):
+    """Tail-only packed table + conservative cluster AABB.
+
+    Feeds the compacted tail-sphere pass (ops/compact_sphere.py): the
+    (radius, material)-uniform tail group (e.g. the 1000-ball cluster of
+    final_scene/original_scene, src/main.cu:547-552) occupies a compact
+    AABB, so most rays can skip its 1000 rows entirely after one slab
+    test.  Returns ``(tail_packed, tail_box)`` where ``tail_packed`` is
+    the tail rows re-based to row 0 and padded with inert rows (same
+    r2 = -1 / K = 1e30 Cauchy-Schwarz rejection as :func:`pack_spheres`),
+    and ``tail_box = (x0, y0, z0, x1, y1, z1)`` python floats bounding
+    every tail sphere (centers +- |r|) inflated by an fp-safety margin.
+    ``(zeros, ())`` when the scene has no tail."""
+    import numpy as np
+
+    if not n_tail:
+        return jnp.zeros((1, 10), jnp.float32), ()
+    pk = np.asarray(sph_packed)
+    lo = n_moving_pad + (n_static - n_tail)
+    rows = pk[lo : n_moving_pad + n_static]
+    pad = 32 * _SPH_UNROLL // math.gcd(32, _SPH_UNROLL)
+    n_pad = -(-len(rows) // pad) * pad
+    out = np.zeros((n_pad, 10), np.float32)
+    out[:, 8] = -1.0
+    out[:, 9] = 1e30
+    out[: len(rows)] = rows
+    c = rows[:, 0:3].astype(np.float64)
+    r = np.abs(rows[:, 6:7].astype(np.float64))
+    lo3 = (c - r).min(axis=0)
+    hi3 = (c + r).max(axis=0)
+    eps = 1e-3 + 1e-6 * float(np.max(np.abs(np.concatenate([lo3, hi3]))))
+    box = tuple(float(v) for v in np.concatenate([lo3 - eps, hi3 + eps]))
+    return jnp.asarray(out), box
+
+
 # ---------------------------------------------------------------------------
 # Quads
 # ---------------------------------------------------------------------------

@@ -678,9 +678,16 @@ class _Compiler:
             sph_static_cells = static_sphere_cells(
                 sph_packed, sph_n_moving_pad, sph_n_static, sph_n_tail
             )
+        from art_tpu.ops.pallas_kernels import pack_tail_spheres
+
+        sph_tail_packed, sph_tail_box = pack_tail_spheres(
+            sph_packed, sph_n_moving_pad, sph_n_static, sph_n_tail
+        )
         tables = dataclasses.replace(
             tables,
             sph_packed=sph_packed,
+            sph_tail_packed=sph_tail_packed,
+            sph_tail_box=sph_tail_box,
             sph_n_moving_pad=sph_n_moving_pad,
             sph_n_static=sph_n_static,
             sph_n_tail=sph_n_tail,

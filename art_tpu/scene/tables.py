@@ -137,6 +137,10 @@ class SceneTables:
 
     # ---- kernel-packed copies (built once at compile; see ops/pallas_kernels) ----
     sph_packed: jnp.ndarray  # (S, 10) [cx cy cz vx vy vz radius mat r2 K]
+    # Tail rows re-based to row 0 (pack_tail_spheres) for the compacted
+    # tail-sphere pass (ops/compact_sphere.py): the uniform cluster runs
+    # at K << R compacted lanes when few rays' slabs cross its AABB.
+    sph_tail_packed: jnp.ndarray  # (T_pad, 10)
     quad_packed: jnp.ndarray  # (Q, 12)
     box_packed: jnp.ndarray  # (B, 12)
     # Cluster-culling copies (BVH-leaf order + per-cluster AABBs; the
@@ -192,6 +196,10 @@ class SceneTables:
     sph_n_tail: int = _static()
     sph_tail_r: float = _static()
     sph_tail_mat: float = _static()
+    # Conservative AABB (x0, y0, z0, x1, y1, z1) of every tail sphere
+    # (pack_tail_spheres); () when no tail.  Compile-time floats for the
+    # compacted tail pass's slab predicate.
+    sph_tail_box: tuple = _static()
     # True when every sphere radius in the scene is positive (no hollow
     # glass): the kernel drops the signed-radius carry and normalizes the
     # winner normal with one rsqrt instead.
@@ -281,6 +289,7 @@ def empty_tables() -> dict:
         tex_img=_z((1,), jnp.int32),
         atlas=ImageAtlas.empty(),
         sph_packed=_z((1, 10)),
+        sph_tail_packed=_z((1, 10)),
         quad_packed=_z((1, 12)),
         box_packed=_z((1, 12)),
         sph_cl_packed=_z((1, 9)),
@@ -314,6 +323,7 @@ def empty_tables() -> dict:
         sph_n_tail=0,
         sph_tail_r=1.0,
         sph_tail_mat=0.0,
+        sph_tail_box=(),
         sph_pos_r=False,
         sph_expand=False,
         box_grid_kx=0,

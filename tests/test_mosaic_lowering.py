@@ -289,6 +289,36 @@ def test_full_wavefront_step_lowers_adaptive_flush_window(monkeypatch):
 
 
 @pytest.mark.parametrize("scene_name", ["final_scene", "original_scene"])
+def test_full_wavefront_step_lowers_compact_sphere(scene_name, monkeypatch):
+    """ART_TPU_COMPACT_SPH's compacted tail-sphere pass (head kernel +
+    MXU ray-id compaction + K-batch tail kernel + row scatter under
+    lax.cond) must cross-lower inside the full render step.  Pool = 2x
+    RAY_BLOCK so R > SPH_K engages the split (the intersect gate is
+    dense-only otherwise)."""
+    monkeypatch.setenv("ART_TPU_FORCE_PALLAS", "1")
+    from art_tpu.ops import intersect
+
+    monkeypatch.setattr(intersect, "_COMPACT_SPH", True)
+    from art_tpu.render.integrator import render_wavefront
+
+    scene = build_scene(scene_name, 64, 64)
+    key = jax.random.PRNGKey(0)
+    bg = jnp.asarray(scene.background, jnp.float32)
+    jitted = jax.jit(
+        render_wavefront,
+        static_argnames=(
+            "spp", "tile_pixels", "total_pixels", "nx", "ny",
+            "max_depth", "gradient_bg", "n_slots",
+        ),
+    )
+    jitted.trace(
+        scene.tables, scene.camera, jnp.int32(0), key=key, background=bg,
+        spp=8, tile_pixels=1024, total_pixels=64 * 64, nx=64, ny=64,
+        max_depth=8, gradient_bg=scene.gradient_bg, n_slots=2 * RB,
+    ).lower(lowering_platforms=("tpu",))
+
+
+@pytest.mark.parametrize("scene_name", ["final_scene", "original_scene"])
 def test_full_wavefront_step_lowers_compact_turb(scene_name, monkeypatch):
     """ART_TPU_COMPACT_TURB's compacted-turbulence step (flush-kernel
     scatter + K-batch turb kernel under lax.cond) must cross-lower inside
