@@ -67,10 +67,26 @@ def rotate_y_deg(p: np.ndarray, deg: float) -> np.ndarray:
 # Scene builders
 # ---------------------------------------------------------------------------
 
-def bouncing_spheres(nx: int, ny: int, seed: int = 1984) -> CompiledScene:
-    """Book-1 final scene, UT palette + emissive movers (src/main.cu:160-244)."""
-    rng = np.random.default_rng(seed)
-    rnd = lambda: float(rng.random())
+def bouncing_spheres(
+    nx: int, ny: int, seed: int = 1984, arg_order: str = "ltr"
+) -> CompiledScene:
+    """Book-1 final scene, UT palette + emissive movers (src/main.cu:160-244).
+
+    The grid layout reproduces the reference's cuRAND XORWOW draw
+    sequence exactly (curand_init(1984,0,0) at src/main.cu:92, RND
+    macro src/main.cu:137, draw sites src/main.cu:185-222) via the
+    host-side port in core/xorwow.py.  ``arg_order`` resolves the two
+    C++-unspecified argument-evaluation-order sites — the vec3 ctor
+    calls at src/main.cu:187 (center x/z) and :192 (vel y/z): "ltr"
+    draws left-to-right (nvcc/cicc LLVM semantics), "rtl" the reverse.
+    The shipped default is the one that matches the reference golden
+    (images/utk.png) — see tests/test_parity.py.
+    """
+    from art_tpu.core.xorwow import XorwowState
+
+    rng = XorwowState(seed)
+    rnd = rng.uniform
+    ltr = arg_order == "ltr"
     b = SceneBuilder().set_name("bouncing_spheres")
 
     checker = Checker(0.64, SolidColor((1.0, 1.0, 1.0)), SolidColor(UT_ORANGE))
@@ -81,9 +97,21 @@ def bouncing_spheres(nx: int, ny: int, seed: int = 1984) -> CompiledScene:
     for a in range(-11, 11):
         for bb in range(-11, 11):
             choose_mat = rnd()
-            center = (a + 0.9 * rnd(), 0.2, bb + 0.9 * rnd())
+            if ltr:
+                cx = a + 0.9 * rnd()
+                cz = bb + 0.9 * rnd()
+            else:
+                cz = bb + 0.9 * rnd()
+                cx = a + 0.9 * rnd()
+            center = (cx, 0.2, cz)
             if choose_mat < 0.8:
-                vel = (0.0, 0.5 * rnd(), 0.25 * (rnd() - 0.5))
+                if ltr:
+                    vy = 0.5 * rnd()
+                    vz = 0.25 * (rnd() - 0.5)
+                else:
+                    vz = 0.25 * (rnd() - 0.5)
+                    vy = 0.5 * rnd()
+                vel = (0.0, vy, vz)
                 center2 = tuple(c + v for c, v in zip(center, vel))
                 if rnd() < P_EMISSIVE:
                     emit = tuple(EMIT_POWER * c for c in UT_ORANGE)

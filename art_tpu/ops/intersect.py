@@ -147,10 +147,12 @@ _NO_SPH_TAIL = bool(os.environ.get("ART_TPU_NO_SPH_TAIL"))
 _NO_SPH_POS_R = bool(os.environ.get("ART_TPU_NO_SPH_POS_R"))
 # Compacted tail-sphere pass (ops/compact_sphere.py): slab-cull the
 # uniform 1000-ball cluster and run its rows at K << R compacted lanes
-# (adaptive lax.cond, exact).  Opt-in pending TPU A/B; gated on a >= 512
+# (adaptive lax.cond, exact).  Default ON since round 2's measured A/B
+# win (final 65.00 vs 62.48, original 59.28 vs 57.38 Mrays/s, on-chip
+# parity bit-exact — docs/logs/ab_compact_sph_r2.log); gated on a >= 512
 # row tail so it only triggers on final_scene/original_scene-class
-# clusters.
-_COMPACT_SPH = bool(os.environ.get("ART_TPU_COMPACT_SPH"))
+# clusters.  ART_TPU_NO_COMPACT_SPH=1 disables.
+_COMPACT_SPH = not bool(os.environ.get("ART_TPU_NO_COMPACT_SPH"))
 _COMPACT_SPH_MIN_TAIL = 512
 # Per-ray BVH descent for spheres (opt-in): the direct analog of the
 # reference's log-n bvh_node::hit (src/bvh.cuh:95-106).  Measured on v5e

@@ -102,7 +102,11 @@ _SEAM_FLUSH = bool(__import__("os").environ.get("ART_TPU_SEAM_FLUSH"))
 # rows, so flush through a small window whenever this iteration's died
 # pixels actually fit it, falling back to the proven n_hi_win window (an
 # exact lax.cond — never an approximation) otherwise.
-_FLUSH_WIN = int(__import__("os").environ.get("ART_TPU_FLUSH_WIN", "0"))
+# Default ON at 48 rows since round 2's measured A/B wins (bouncing
+# 117.07 vs 113.11, final 63.31 vs 62.56 Mrays/s; on-chip parity
+# corr=1.0 at win=24, docs/logs/flushwin_rest_r2.log,
+# parity_onchip_r2.log).  ART_TPU_FLUSH_WIN=0 disables.
+_FLUSH_WIN = int(__import__("os").environ.get("ART_TPU_FLUSH_WIN", "48"))
 
 
 def _flush_mode(R: int) -> str:

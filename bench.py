@@ -81,9 +81,30 @@ def _acquire_tpu_slot(max_wait_s: float = 1800.0):
     at import in EVERY process, so a second concurrent python breaks a
     running TPU job with FAILED_PRECONDITION.  Wait up to max_wait_s for
     the lock, then proceed regardless (never deadlock the driver on a
-    wedged background job)."""
+    wedged background job).
+
+    Priority protocol (round-2 verdict Weak #1 — the driver bench must
+    always win): raise the /tmp/tpu.yield sentinel first.  Every runner
+    in scripts/run_*.sh checks the sentinel between flocked runs and
+    sleeps while it exists, so bench acquires the lock as soon as the
+    in-flight run (not the whole queue) finishes.  The sentinel is
+    removed at process exit."""
+    import atexit
     import fcntl
 
+    try:
+        with open("/tmp/tpu.yield", "w") as s:
+            s.write(f"bench.py pid={os.getpid()}\n")
+
+        def _clear_yield():
+            try:
+                os.unlink("/tmp/tpu.yield")
+            except OSError:
+                pass
+
+        atexit.register(_clear_yield)
+    except OSError:
+        pass
     try:
         fh = open("/tmp/tpu.lock", "w")
     except OSError:

@@ -8,12 +8,12 @@ set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 LOG="${1:-/tmp/ab_compact_sph.log}"
-LOCK=/tmp/tpu.lock
+source "$(dirname "$0")/tpu_slot.sh"
 : > "$LOG"
 
 say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
 
-until flock "$LOCK" timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+until yield_wait; flock "$LOCK" timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
   say "tunnel down, retrying"
   sleep 240
 done
@@ -22,7 +22,7 @@ say "tunnel UP"
 run() { # run SCENE NX NY SPP [ENV=V ...]
   local name=$1 nx=$2 ny=$3 spp=$4; shift 4
   say "run: $name $nx $ny $spp  env: $*"
-  flock "$LOCK" env "$@" python scripts/exp_shortpath.py "$name" "$nx" "$ny" "$spp" \
+  yield_wait; flock "$LOCK" env "$@" python scripts/exp_shortpath.py "$name" "$nx" "$ny" "$spp" \
     >> "$LOG" 2>&1
   say "rc=$?"
 }
@@ -33,7 +33,7 @@ run original_scene 800 800 500 ART_TPU_COMPACT_SPH=1
 run original_scene 800 800 500 ART_TPU_COMPACT_SPH=1 ART_TPU_SPH_K=16384
 
 say "parity: compacted tail spheres vs dense (200x200@16)"
-flock "$LOCK" python - >> "$LOG" 2>&1 <<'EOF'
+yield_wait; flock "$LOCK" python - >> "$LOG" 2>&1 <<'EOF'
 import os, subprocess, sys, tempfile
 import numpy as np
 def render(scene, env, out):

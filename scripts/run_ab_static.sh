@@ -15,14 +15,14 @@ set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 LOG="${1:-/tmp/ab_static.log}"
-LOCK=/tmp/tpu.lock
+source "$(dirname "$0")/tpu_slot.sh"
 : > "$LOG"
 
 say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
 
 # -- wait for the tunnel ----------------------------------------------------
 say "probing tunnel..."
-until flock "$LOCK" timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+until yield_wait; flock "$LOCK" timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
   say "tunnel down, retrying"
   sleep 240
 done
@@ -31,7 +31,7 @@ say "tunnel UP"
 run() { # run NAME NX NY SPP [ENV=V ...]
   local name=$1 nx=$2 ny=$3 spp=$4; shift 4
   say "run: $name $nx $ny $spp  env: $*"
-  flock "$LOCK" env "$@" python scripts/exp_shortpath.py "$name" "$nx" "$ny" "$spp" \
+  yield_wait; flock "$LOCK" env "$@" python scripts/exp_shortpath.py "$name" "$nx" "$ny" "$spp" \
     >> "$LOG" 2>&1
   say "rc=$?"
 }
@@ -61,7 +61,7 @@ run simple_light 1200 600 500 ART_TPU_FETCH_K=4096
 
 # -- on-chip parity: new kernels vs their looped forms -----------------------
 say "parity: grid-static vs looped grid (final_scene 200x200@16)"
-flock "$LOCK" python - >> "$LOG" 2>&1 <<'EOF'
+yield_wait; flock "$LOCK" python - >> "$LOG" 2>&1 <<'EOF'
 import os, subprocess, sys, tempfile
 import numpy as np
 def render(scene, env, out):

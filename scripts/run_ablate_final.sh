@@ -9,12 +9,12 @@ set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 LOG="${1:-/tmp/ablate_final.log}"
-LOCK=/tmp/tpu.lock
+source "$(dirname "$0")/tpu_slot.sh"
 : > "$LOG"
 
 say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
 
-until flock "$LOCK" timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+until yield_wait; flock "$LOCK" timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
   say "tunnel down, retrying"
   sleep 240
 done
@@ -22,7 +22,7 @@ say "tunnel UP"
 
 run() { # run ENVSPEC...
   say "ablate: $*"
-  flock "$LOCK" env "$@" python scripts/exp_shortpath.py final_scene 800 800 500 \
+  yield_wait; flock "$LOCK" env "$@" python scripts/exp_shortpath.py final_scene 800 800 500 \
     >> "$LOG" 2>&1
   say "rc=$?"
 }
@@ -43,7 +43,7 @@ run ART_TPU_COMPACT_TURB=1               # compacted marble turbulence
 # sphere among ~1410 objects).  fake_turb first to bound the win.
 runo() { # runo ENVSPEC...
   say "original: $*"
-  flock "$LOCK" env "$@" python scripts/exp_shortpath.py original_scene 800 800 500 \
+  yield_wait; flock "$LOCK" env "$@" python scripts/exp_shortpath.py original_scene 800 800 500 \
     >> "$LOG" 2>&1
   say "rc=$?"
 }
@@ -57,7 +57,7 @@ run ART_TPU_FLUSH_WIN=24                 # final_scene
 run ART_TPU_FLUSH_WIN=48
 runb() { # runb ENVSPEC...
   say "bouncing: $*"
-  flock "$LOCK" env "$@" python scripts/exp_shortpath.py bouncing_spheres 1200 800 500 \
+  yield_wait; flock "$LOCK" env "$@" python scripts/exp_shortpath.py bouncing_spheres 1200 800 500 \
     >> "$LOG" 2>&1
   say "rc=$?"
 }
@@ -65,7 +65,7 @@ runb ART_TPU_FLUSH_WIN=24
 runb ART_TPU_FLUSH_WIN=48
 runq() { # runq ENVSPEC...
   say "quads: $*"
-  flock "$LOCK" env "$@" python scripts/exp_shortpath.py quads 1200 600 500 \
+  yield_wait; flock "$LOCK" env "$@" python scripts/exp_shortpath.py quads 1200 600 500 \
     >> "$LOG" 2>&1
   say "rc=$?"
 }

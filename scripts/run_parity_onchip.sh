@@ -6,19 +6,19 @@ set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 LOG="${1:-/tmp/parity_onchip.log}"
-LOCK=/tmp/tpu.lock
+source "$(dirname "$0")/tpu_slot.sh"
 : > "$LOG"
 
 say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
 
-until flock "$LOCK" timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+until yield_wait; flock "$LOCK" timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
   say "tunnel down, retrying"
   sleep 240
 done
 say "tunnel UP"
 
 say "parity: static kernels vs looped forms (200x200@16)"
-flock "$LOCK" python - >> "$LOG" 2>&1 <<'EOF'
+yield_wait; flock "$LOCK" python - >> "$LOG" 2>&1 <<'EOF'
 import os, subprocess, sys, tempfile
 import numpy as np
 def render(scene, env, out):
