@@ -236,11 +236,22 @@ def simple_light(nx: int, ny: int) -> CompiledScene:
     return b.compile()
 
 
-def cornell_box(nx: int, ny: int) -> CompiledScene:
-    """src/main.cu:402-450"""
+def cornell_box(nx: int, ny: int, legacy_walls: bool = False) -> CompiledScene:
+    """src/main.cu:402-450.
+
+    ``legacy_walls=True`` substitutes the classic book green
+    (0.12, 0.45, 0.15) for the x=0 wall in place of the source's blue
+    (main.cu:411/416).  The reference golden (images/cornellBox.png)
+    predates the blue-wall edit: its x=0 wall is green — verified by
+    direct pixel sampling (round 3) — so the legacy variant is the one
+    that gates tightly against the golden (tests/test_parity.py).
+    """
     b = SceneBuilder().set_name("cornell_box")
     red = Lambertian((0.65, 0.05, 0.05))
-    blue = Lambertian((0.15, 0.15, 0.75))
+    blue = (
+        Lambertian((0.12, 0.45, 0.15)) if legacy_walls
+        else Lambertian((0.15, 0.15, 0.75))
+    )
     white = Lambertian((0.73, 0.73, 0.73))
     light = DiffuseLight((15.0, 15.0, 15.0))
 

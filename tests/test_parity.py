@@ -73,6 +73,11 @@ REFERENCE_GATES = [
     ("perlin", "perlin.png", 96, 24, 0.98, 0.05),
     ("earth", "textureWrap.png", 96, 24, 0.98, 0.03),
     ("simple_light", "poolBall.png", 96, 48, 0.95, 0.05),
+    # cornellBox.png predates the source's blue-wall edit (its x=0 wall
+    # is GREEN 0.12/0.45/0.15, the classic book color — verified by
+    # pixel sampling, round 3); our port matches the *source*
+    # (main.cu:416 blue), hence the wide mean gate here.  The tight gate
+    # lives in test_cornell_legacy_walls below.
     ("cornell_box", "cornellBox.png", 96, 48, 0.93, 0.13),
     ("final_scene", "finalScene.png", 96, 24, 0.96, 0.13),
     ("original_scene", "alfredo2.png", 96, 24, 0.96, 0.06),
@@ -90,6 +95,29 @@ def test_golden_statistics(scene, golden, nx, spp, min_corr, max_md):
     corr, mean_diff = _compare(scene, golden, nx, spp)
     assert corr > min_corr, f"{scene}: luminance correlation {corr:.3f}"
     assert mean_diff < max_md, f"{scene}: per-channel mean diff {mean_diff:.3f}"
+
+
+def test_cornell_legacy_walls():
+    """Tight cornell gate: with the golden's actual wall colors (the
+    classic book green at x=0 — cornellBox.png predates the source's
+    blue-wall edit at main.cu:416), our renderer matches the golden
+    closely (measured corr 0.9926 / mean_diff 0.027 @ 96px 128spp; the
+    residual offset is low-spp firefly-clipping bias that shrinks with
+    spp).  This pins the shading path: a real shading bias would break
+    this gate, not just the wide main cornell gate."""
+    from art_tpu.models.scenes import cornell_box
+
+    gold = np.asarray(
+        Image.open(f"{GOLDEN_DIR}/cornellBox.png").convert("RGB"), np.float32
+    ) / 255.0
+    scene = cornell_box(96, 96, legacy_walls=True)
+    fb, _ = render_scene(scene, RenderConfig(nx=96, ny=96, spp=128, seed=3))
+    a = _down(np.clip(fb[::-1], 0.0, 1.0))
+    b = _down(gold)
+    corr = float(np.corrcoef(a.mean(-1).ravel(), b.mean(-1).ravel())[0, 1])
+    mean_diff = float(np.abs(a.mean((0, 1)) - b.mean((0, 1))).max())
+    assert corr > 0.97, f"legacy cornell: correlation {corr:.3f}"
+    assert mean_diff < 0.05, f"legacy cornell: mean diff {mean_diff:.3f}"
 
 
 def test_xorwow_arg_order_matters():
