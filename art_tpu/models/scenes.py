@@ -236,6 +236,33 @@ def simple_light(nx: int, ny: int) -> CompiledScene:
     return b.compile()
 
 
+def simple_light_book(nx: int, ny: int) -> CompiledScene:
+    """The book's simple-light scene (RTNW ch. 7) — the layout behind the
+    reference golden images/simpleLight.png, which predates the pool-ball
+    variant now in the source (src/main.cu:360-400): two perlin-marble
+    spheres plus the same quad + sphere lights and camera.  Gated against
+    simpleLight.png in tests/test_parity.py (measured corr 0.984 @ 96px).
+    """
+    b = SceneBuilder().set_name("simple_light_book")
+    noise = NoiseTexture(4.0)
+    b.add(Sphere((0, -1000, 0), 1000.0, Lambertian(noise)))
+    b.add(Sphere((0, 2, 0), 2.0, Lambertian(noise)))
+    b.add(
+        Sphere((0, 7, 0), 2.0, DiffuseLight((4, 4, 4))),
+        Quad((3, 1, -2), (2, 0, 0), (0, 2, 0), DiffuseLight((4, 4, 4))),
+    )
+    lookfrom = np.array([26.0, 3.0, 6.0])
+    lookat = np.array([0.0, 2.0, 0.0])
+    b.set_camera(
+        lookfrom=lookfrom, lookat=lookat, vup=(0, 1, 0),
+        vfov_degrees=20.0, aspect=nx / ny, aperture=0.0,
+        focus_dist=float(np.linalg.norm(lookfrom - lookat)),
+        time0=0.0, time1=1.0,
+    )
+    b.set_background((0, 0, 0), gradient=False)
+    return b.compile()
+
+
 def cornell_box(nx: int, ny: int, legacy_walls: bool = False) -> CompiledScene:
     """src/main.cu:402-450.
 
@@ -459,6 +486,7 @@ SCENES = {
     "perlin": perlin,
     "quads": quads_scene,
     "simple_light": simple_light,
+    "simple_light_book": simple_light_book,
     "cornell_box": cornell_box,
     "cornell_smoke": cornell_smoke,
     "final_scene": final_scene,
@@ -473,6 +501,7 @@ _DEFAULTS = {
     "perlin": dict(nx=1200, ny=600, spp=500),
     "quads": dict(nx=1200, ny=600, spp=500),
     "simple_light": dict(nx=1200, ny=600, spp=10000),
+    "simple_light_book": dict(nx=1200, ny=600, spp=10000),
     "cornell_box": dict(nx=600, ny=600, spp=10000),
     "cornell_smoke": dict(nx=600, ny=600, spp=1000),
     "final_scene": dict(nx=800, ny=800, spp=10000),

@@ -79,6 +79,15 @@ REFERENCE_GATES = [
     # (main.cu:416 blue), hence the wide mean gate here.  The tight gate
     # lives in test_cornell_legacy_walls below.
     ("cornell_box", "cornellBox.png", 96, 48, 0.93, 0.13),
+    # redBlue.png (README "Instancing" figure) is the cornell that DOES
+    # match the current source walls (blue x=0 / red x=555) — it gates
+    # the as-ported scene tightly (measured corr 0.9876 @ 96px 48spp;
+    # the ~0.066 mean offset is low-spp firefly-clipping bias).
+    ("cornell_box", "redBlue.png", 96, 48, 0.95, 0.10),
+    # simpleLight.png predates the source's pool-ball simple_light
+    # (main.cu:360-400): it is the book's RTNW ch.7 scene — two
+    # perlin-marble spheres + the same lights (measured corr 0.9841).
+    ("simple_light_book", "simpleLight.png", 96, 48, 0.94, 0.03),
     ("final_scene", "finalScene.png", 96, 24, 0.96, 0.13),
     ("original_scene", "alfredo2.png", 96, 24, 0.96, 0.06),
     # XORWOW layout port (core/xorwow.py): measured .9894/.0213 @ 48spp
@@ -118,6 +127,25 @@ def test_cornell_legacy_walls():
     mean_diff = float(np.abs(a.mean((0, 1)) - b.mean((0, 1))).max())
     assert corr > 0.97, f"legacy cornell: correlation {corr:.3f}"
     assert mean_diff < 0.05, f"legacy cornell: mean diff {mean_diff:.3f}"
+
+
+def test_instancing_golden_legacy_walls():
+    """instancing.png is the legacy-green-wall cornell (like
+    cornellBox.png it predates the source's blue-wall edit) — gate it
+    with the legacy_walls variant (measured corr 0.9880 @ 96px 48spp)."""
+    from art_tpu.models.scenes import cornell_box
+
+    gold = np.asarray(
+        Image.open(f"{GOLDEN_DIR}/instancing.png").convert("RGB"), np.float32
+    ) / 255.0
+    scene = cornell_box(96, 96, legacy_walls=True)
+    fb, _ = render_scene(scene, RenderConfig(nx=96, ny=96, spp=48, seed=3))
+    a = _down(np.clip(fb[::-1], 0.0, 1.0))
+    b = _down(gold)
+    corr = float(np.corrcoef(a.mean(-1).ravel(), b.mean(-1).ravel())[0, 1])
+    mean_diff = float(np.abs(a.mean((0, 1)) - b.mean((0, 1))).max())
+    assert corr > 0.95, f"instancing golden: correlation {corr:.3f}"
+    assert mean_diff < 0.10, f"instancing golden: mean diff {mean_diff:.3f}"
 
 
 def test_xorwow_arg_order_matters():
