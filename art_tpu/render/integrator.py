@@ -107,6 +107,11 @@ _SEAM_FLUSH = bool(__import__("os").environ.get("ART_TPU_SEAM_FLUSH"))
 # corr=1.0 at win=24, docs/logs/flushwin_rest_r2.log,
 # parity_onchip_r2.log).  ART_TPU_FLUSH_WIN=0 disables.
 _FLUSH_WIN = int(__import__("os").environ.get("ART_TPU_FLUSH_WIN", "48"))
+# Instrumentation: histogram the tail-cluster needy fraction per pool
+# iteration (ART_TPU_STATS_NEEDY=1) — sizes the compact-sphere capacity
+# knob (ART_TPU_SPH_K) against the real ray population instead of
+# guessing.  Zero cost when unset (static python gate).
+_STATS_NEEDY = bool(__import__("os").environ.get("ART_TPU_STATS_NEEDY"))
 
 
 def _flush_mode(R: int) -> str:
@@ -277,6 +282,10 @@ class _PoolState(NamedTuple):
     active: jnp.ndarray  # (R,) bool
     fb: jnp.ndarray  # (P,3) radiance accumulator
     rays: jnp.ndarray  # () float32 cumulative traced segments
+    # (18,) int32 instrumentation accumulator (ART_TPU_STATS_NEEDY):
+    # [0:16] histogram of needy-fraction buckets (needy*16//R),
+    # [16] total needy, [17] total active.  All-zeros when off.
+    aux: jnp.ndarray
 
 
 def render_wavefront(
@@ -346,6 +355,7 @@ def render_wavefront(
             )
         ),
         rays=jnp.float32(0.0),
+        aux=jnp.zeros((18,), jnp.int32),
     )
 
     def cond(st: _PoolState):
@@ -474,6 +484,18 @@ def render_wavefront(
             pix = jnp.where(take, p_row, st.pix)
             active = st.active | take
             next_q = st.next_q + jnp.sum(take.astype(jnp.int32))
+
+        if _STATS_NEEDY and tables.sph_tail_box:
+            from art_tpu.ops.compact_sphere import tail_box_needy
+
+            needy = tail_box_needy(tables.sph_tail_box, o, d, 1e-3) & active
+            ncnt = jnp.sum(needy.astype(jnp.int32))
+            bucket = jnp.clip((ncnt * 16) // R, 0, 15)
+            aux = st.aux.at[bucket].add(1)
+            aux = aux.at[16].add(ncnt)
+            aux = aux.at[17].add(jnp.sum(active.astype(jnp.int32)))
+        else:
+            aux = st.aux
 
         # ---- one bounce for the whole pool ----
         o2, d2, throughput, radiance, survived = _bounce_step(
@@ -631,6 +653,7 @@ def render_wavefront(
             active=still_alive,
             fb=fb,
             rays=st.rays + jnp.sum(active.astype(jnp.float32)),
+            aux=aux,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -667,4 +690,8 @@ def render_wavefront(
         fb = final.fb.reshape(P, _SUBSLOTS, 3).sum(axis=1)
     else:
         fb = final.fb[:, :3]
+    if _STATS_NEEDY:
+        # extra instrumentation output (axon has no debug.print callback);
+        # renderer prints it after device_get
+        return fb, final.rays, final.it, final.aux
     return fb, final.rays, final.it

@@ -254,7 +254,7 @@ def render_scene(
             if dispatch <= done_dispatches:
                 continue
             k = artrng.fold(master, tile, chunk)
-            batch, rays, iters = _wavefront_jit(
+            batch, rays, iters, *aux = _wavefront_jit(
                 tables,
                 cam,
                 jnp.int32(lo),
@@ -273,6 +273,13 @@ def render_scene(
             fb[lo:hi] += np.asarray(batch)[: hi - lo]
             total_rays += float(rays)
             total_iters += int(iters)
+            if aux:  # ART_TPU_STATS_NEEDY instrumentation (integrator.py)
+                a = np.asarray(aux[0])
+                print(
+                    f"needy_hist(R/16 buckets)={a[:16].tolist()} "
+                    f"total_needy={int(a[16])} total_active={int(a[17])}",
+                    file=sys.stderr,
+                )
             if checkpoint_path:
                 save_ckpt(dispatch)
 
