@@ -54,23 +54,27 @@ def _refill_kernel(scal_ref, cam_ref,
     )
 
 
-def _refill_body(scal_ref, cam_ref,
-                 uj0, uj1, ul0, ul1, ut,
-                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
-                 t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
-                 bounce_ref, pix_ref, act_ref,
-                 oxo, oyo, ozo, dxo, dyo, dzo, tmo,
-                 t0o, t1o, t2o, r0o, r1o, r2o,
-                 bounceo, pixo, acto, tko,
-                 carry_smem, zero_dead_radiance=False):
-    """One grid step = one (SUBLANES, LANES) slot block.
+def _refill_compute(scal_ref, cam_ref,
+                    uj0, uj1, ul0, ul1, ut,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+                    t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
+                    bounce_ref, pix_ref, act_ref,
+                    carry_smem, zero_dead_radiance=False):
+    """Refill stage as VALUES (shared by _refill_body and the short-path
+    megakernel, ops/sp_kernel.py, which keeps bouncing the refilled rays
+    in-register instead of writing them out).
+
+    One grid step = one (SUBLANES, LANES) slot block.
 
     scal_ref (SMEM i32): [p_base, s_base, spp, P, pix_offset, total_pixels,
                           nx, ny]
     cam_ref  (SMEM f32): [origin(3), llc(3), horizontal(3), vertical(3),
                           u(3), v(3), lens_radius, time0, time1]
-    carry_smem (SMEM i32 scratch): running dead count across blocks.
-    tko: (1, 1) i32 output — total taken count (written at the last block).
+    carry_smem (SMEM i32 scratch): running dead count across blocks
+    (updated here).
+
+    Returns a dict of the 16 refilled state planes plus nothing else;
+    the take-count total lives in carry_smem[1].
     """
     b = pl.program_id(0)
 
@@ -168,32 +172,63 @@ def _refill_body(scal_ref, cam_ref,
     # ---- masked merge into the pool ----
     ones = jnp.ones(act.shape, jnp.float32)
     zeros = jnp.zeros(act.shape, jnp.float32)
-    oxo[:] = jnp.where(take, o_new[0], ox_ref[:])
-    oyo[:] = jnp.where(take, o_new[1], oy_ref[:])
-    ozo[:] = jnp.where(take, o_new[2], oz_ref[:])
-    dxo[:] = jnp.where(take, d_new[0], dx_ref[:])
-    dyo[:] = jnp.where(take, d_new[1], dy_ref[:])
-    dzo[:] = jnp.where(take, d_new[2], dz_ref[:])
-    tmo[:] = jnp.where(take, tm_new, tm_ref[:])
-    t0o[:] = jnp.where(take, ones, t0_ref[:])
-    t1o[:] = jnp.where(take, ones, t1_ref[:])
-    t2o[:] = jnp.where(take, ones, t2_ref[:])
     # Seam-merged flush mode: every dead slot's radiance was flushed to the
     # framebuffer just above, so zero it for ALL dead slots (not only taken
     # ones) — a dead slot kept past queue exhaustion must not be re-added.
     rz = dead if zero_dead_radiance else take
-    r0o[:] = jnp.where(rz, zeros, r0_ref[:])
-    r1o[:] = jnp.where(rz, zeros, r1_ref[:])
-    r2o[:] = jnp.where(rz, zeros, r2_ref[:])
-    bounceo[:] = jnp.where(take, 0, bounce_ref[:])
-    pixo[:] = jnp.where(take, p_row, pix_ref[:])
-    acto[:] = ((act != 0) | take).astype(jnp.int32)
+    vals = dict(
+        ox=jnp.where(take, o_new[0], ox_ref[:]),
+        oy=jnp.where(take, o_new[1], oy_ref[:]),
+        oz=jnp.where(take, o_new[2], oz_ref[:]),
+        dx=jnp.where(take, d_new[0], dx_ref[:]),
+        dy=jnp.where(take, d_new[1], dy_ref[:]),
+        dz=jnp.where(take, d_new[2], dz_ref[:]),
+        tm=jnp.where(take, tm_new, tm_ref[:]),
+        t0=jnp.where(take, ones, t0_ref[:]),
+        t1=jnp.where(take, ones, t1_ref[:]),
+        t2=jnp.where(take, ones, t2_ref[:]),
+        r0=jnp.where(rz, zeros, r0_ref[:]),
+        r1=jnp.where(rz, zeros, r1_ref[:]),
+        r2=jnp.where(rz, zeros, r2_ref[:]),
+        bounce=jnp.where(take, 0, bounce_ref[:]),
+        pix=jnp.where(take, p_row, pix_ref[:]),
+        act=((act != 0) | take).astype(jnp.int32),
+    )
 
     # ---- carries ----
     carry_smem[0] = carry_smem[0] + jnp.sum(dead_i)
     carry_smem[1] = carry_smem[1] + jnp.sum(take.astype(jnp.int32))
+    return vals
 
-    @pl.when(b == pl.num_programs(0) - 1)
+
+def _refill_body(scal_ref, cam_ref,
+                 uj0, uj1, ul0, ul1, ut,
+                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+                 t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
+                 bounce_ref, pix_ref, act_ref,
+                 oxo, oyo, ozo, dxo, dyo, dzo, tmo,
+                 t0o, t1o, t2o, r0o, r1o, r2o,
+                 bounceo, pixo, acto, tko,
+                 carry_smem, zero_dead_radiance=False):
+    """_refill_compute + plane writeback (see its docstring).
+
+    tko: (1, 1) i32 output — total taken count (written at the last block).
+    """
+    vals = _refill_compute(
+        scal_ref, cam_ref, uj0, uj1, ul0, ul1, ut,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+        t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
+        bounce_ref, pix_ref, act_ref,
+        carry_smem, zero_dead_radiance=zero_dead_radiance,
+    )
+    for ref, name in zip(
+        (oxo, oyo, ozo, dxo, dyo, dzo, tmo, t0o, t1o, t2o, r0o, r1o, r2o,
+         bounceo, pixo, acto),
+        _REFILL_NAMES_F + _REFILL_NAMES_I,
+    ):
+        ref[:] = vals[name]
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
         tko[0, 0] = carry_smem[1]
 

@@ -112,6 +112,14 @@ _FLUSH_WIN = int(__import__("os").environ.get("ART_TPU_FLUSH_WIN", "48"))
 # knob (ART_TPU_SPH_K) against the real ray population instead of
 # guessing.  Zero cost when unset (static python gate).
 _STATS_NEEDY = bool(__import__("os").environ.get("ART_TPU_STATS_NEEDY"))
+# Short-path megakernel (ops/sp_kernel.py): refill+intersect+shade fused
+# into one Pallas launch for builder-gated small static scenes
+# (tables.sp_consts).  ART_TPU_NO_SP=1 falls back to the staged path;
+# ART_TPU_SP=1 forces SP on for dielectric scenes too (measured loss at
+# defaults: three_spheres 322 SP vs 351 staged Mrays/s, queue_r3c.log —
+# the always-evaluated dielectric lane math outweighs the glue saving).
+_NO_SP = bool(__import__("os").environ.get("ART_TPU_NO_SP"))
+_FORCE_SP = bool(__import__("os").environ.get("ART_TPU_SP"))
 
 
 def _flush_mode(R: int) -> str:
@@ -376,6 +384,30 @@ def render_wavefront(
         and not _NO_FLUSH
         and _SEAM_FLUSH
     )
+    # Short-path megakernel: the whole refill+intersect+shade stage in one
+    # Pallas launch (ops/sp_kernel.py).  Excluded under ablation stubs
+    # (they instrument the staged path) and the seam-flush experiment.
+    use_sp = (
+        use_kernel_rng
+        and tables.sp_consts is not None
+        and not _NO_SP
+        and not _DBG
+        and not use_seam
+        # Dielectric scenes measured SLOWER fused (three_spheres 322 vs
+        # 351 Mrays/s, docs/logs/queue_r3c.log): every lane pays the
+        # refract/Schlick ALU chain each iteration.  Keep them staged
+        # unless explicitly forced for measurement.
+        and (_FORCE_SP
+             or not any(m[0] == 2 for m in tables.sp_consts[2]))
+    )
+    if use_sp:
+        from art_tpu.ops.sp_kernel import sp_step_flush_rng, sp_step_rng
+    # Fully-fused form: the fb flush of this iteration's died rays merged
+    # into the SP kernel (their radiance is still in-register — no extra
+    # plane stream, unlike the seam experiment).  The window base comes
+    # from the min LIVE pixel (<= min died pixel), covered by the same
+    # n_hi_win band invariant as the standalone windowed flush.
+    use_sp_flush = use_sp and _FLUSH == "pallas" and not _NO_FLUSH
     if use_fused_refill:
         from art_tpu.ops.refill_kernel import (
             fused_refill,
@@ -387,8 +419,9 @@ def render_wavefront(
         cam_vec = pack_camera(cam)
 
     def body(st: _PoolState) -> _PoolState:
-        if use_fused_refill:
-            # ---- whole refill stage in one Pallas launch ----
+        if use_sp:
+            # ---- whole refill+intersect+shade in ONE Pallas launch ----
+            # (ops/sp_kernel.py; builder-gated small static scenes)
             planes = dict(
                 ox=st.o[0], oy=st.o[1], oz=st.o[2],
                 dx=st.d[0], dy=st.d[1], dz=st.d[2], tm=st.tm,
@@ -397,118 +430,185 @@ def render_wavefront(
                 bounce=st.bounce, pix=st.pix,
                 act=st.active.astype(jnp.int32),
             )
-            # sample-major decomposition: [p_base, s_base] = divmod(q, spp)
             scal = jnp.stack([
                 st.next_q // spp, st.next_q % spp,
                 jnp.int32(spp), jnp.int32(P),
                 jnp.asarray(pix_offset, jnp.int32), jnp.int32(total_pixels),
                 jnp.int32(nx), jnp.int32(ny),
             ])
-            if use_kernel_rng:
-                # every uniform this iteration needs comes from the TPU
-                # hardware PRNG inside the refill kernel — no XLA threefry
-                key2 = jax.random.key_data(
-                    artrng.fold(key, st.it)
-                ).astype(jnp.int32)
-                if use_seam:
-                    base = jnp.clip(
-                        jax.lax.shift_right_logical(st.fmin, 7),
-                        0, n_hi_pallas - n_hi_win,
-                    )
-                    window = jax.lax.dynamic_slice(
-                        st.fb, (base, 0), (n_hi_win, 384)
-                    )
-                    (new, take_count, u_ball, u_choice, u_media,
-                     window2) = fused_refill_flush_rng(
-                        planes, key2, cam_vec, scal, window, base,
-                        n_media=max(tables.n_media, 1),
-                    )
-                    fb_flushed = jax.lax.dynamic_update_slice(
-                        st.fb, window2, (base, 0)
-                    )
-                else:
-                    (new, take_count, u_ball, u_choice,
-                     u_media) = fused_refill_rng(
-                        planes, key2, cam_vec, scal,
-                        n_media=max(tables.n_media, 1),
-                    )
-            else:
-                U = artrng.uniform(artrng.fold(key, st.it), (ncols, R))
-                u_ball = (U[0], U[1], U[2])
-                u_choice = U[_U_CHOICE]
-                u_media = U[_U_MEDIA:]
-                new, take_count = fused_refill(
-                    planes,
-                    (U[_U_JITTER0], U[_U_JITTER1], U[_U_LENS0], U[_U_LENS1],
-                     U[_U_TIME]),
-                    cam_vec, scal,
+            key2 = jax.random.key_data(
+                artrng.fold(key, st.it)
+            ).astype(jnp.int32)
+            if use_sp_flush:
+                # window base from the min LIVE pixel: every ray that can
+                # die this iteration is live after refill, and refilled
+                # rows start at p_base = next_q // spp, so
+                # min(live pix, p_base) lower-bounds every died pixel and
+                # the live band fits n_hi_win rows (same invariant as the
+                # standalone windowed flush above).
+                minpix = jnp.minimum(
+                    jnp.min(jnp.where(st.active, st.pix, jnp.int32(1 << 30))),
+                    st.next_q // spp,
                 )
-            o = (new["ox"], new["oy"], new["oz"])
-            d = (new["dx"], new["dy"], new["dz"])
+                base = jnp.clip(
+                    jax.lax.shift_right_logical(minpix, 7),
+                    0, n_hi_pallas - n_hi_win,
+                )
+                window = jax.lax.dynamic_slice(
+                    st.fb, (base, 0), (n_hi_win, 384)
+                )
+                new, take_count, died_sp, window2 = sp_step_flush_rng(
+                    planes, key2, cam_vec, scal, background, window, base,
+                    consts=tables.sp_consts,
+                    n_media=max(tables.n_media, 1),
+                    max_depth=max_depth, gradient=gradient_bg,
+                )
+                fb_sp = jax.lax.dynamic_update_slice(
+                    st.fb, window2, (base, 0)
+                )
+            else:
+                new, take_count, died_sp = sp_step_rng(
+                    planes, key2, cam_vec, scal, background,
+                    consts=tables.sp_consts,
+                    n_media=max(tables.n_media, 1),
+                    max_depth=max_depth, gradient=gradient_bg,
+                )
+            o2 = (new["ox"], new["oy"], new["oz"])
+            d2 = (new["dx"], new["dy"], new["dz"])
             tm = new["tm"]
             throughput = (new["t0"], new["t1"], new["t2"])
             radiance = (new["r0"], new["r1"], new["r2"])
             bounce = new["bounce"]
             pix = new["pix"]
-            active = new["act"] != 0
+            still_alive = new["act"] != 0
+            active = still_alive | died_sp
             next_q = st.next_q + take_count
-        else:
-            # ---- refill dead slots from the global queue (jnp path) ----
-            U = artrng.uniform(artrng.fold(key, st.it), (ncols, R))
-            u_ball = (U[0], U[1], U[2])
-            u_choice = U[_U_CHOICE]
-            u_media = U[_U_MEDIA:]
-            dead = ~st.active
-            dead_i = dead.astype(jnp.int32)
-            rank = jnp.cumsum(dead_i) - dead_i  # exclusive prefix among dead
-            q = st.next_q + rank
-            take = dead & (q < n_q)
-            # sample-major: spp consecutive queue ids share a pixel, so
-            # live pixels form a monotone band (windowed-flush invariant)
-            p_row = q // spp
-            pixel = jnp.minimum(pix_offset + p_row, total_pixels - 1)
-            i = (pixel % nx).astype(jnp.float32)
-            j = (pixel // nx).astype(jnp.float32)
-            s = (i + U[_U_JITTER0]) / nx
-            t = (j + U[_U_JITTER1]) / ny
-            o_new, d_new, tm_new = rays_from_uniforms_p(
-                cam, s, t, U[_U_LENS0], U[_U_LENS1], U[_U_TIME]
-            )
-
-            o = p_where(take, o_new, st.o)
-            d = p_where(take, d_new, st.d)
-            tm = jnp.where(take, tm_new, st.tm)
-            throughput = p_where(take, (ones, ones, ones), st.throughput)
-            radiance = p_where(take, (zeros, zeros, zeros), st.radiance)
-            bounce = jnp.where(take, 0, st.bounce)
-            pix = jnp.where(take, p_row, st.pix)
-            active = st.active | take
-            next_q = st.next_q + jnp.sum(take.astype(jnp.int32))
-
-        if _STATS_NEEDY and tables.sph_tail_box:
-            from art_tpu.ops.compact_sphere import tail_box_needy
-
-            needy = tail_box_needy(tables.sph_tail_box, o, d, 1e-3) & active
-            ncnt = jnp.sum(needy.astype(jnp.int32))
-            bucket = jnp.clip((ncnt * 16) // R, 0, 15)
-            aux = st.aux.at[bucket].add(1)
-            aux = aux.at[16].add(ncnt)
-            aux = aux.at[17].add(jnp.sum(active.astype(jnp.int32)))
-        else:
             aux = st.aux
+        else:
+            if use_fused_refill:
+                # ---- whole refill stage in one Pallas launch ----
+                planes = dict(
+                    ox=st.o[0], oy=st.o[1], oz=st.o[2],
+                    dx=st.d[0], dy=st.d[1], dz=st.d[2], tm=st.tm,
+                    t0=st.throughput[0], t1=st.throughput[1], t2=st.throughput[2],
+                    r0=st.radiance[0], r1=st.radiance[1], r2=st.radiance[2],
+                    bounce=st.bounce, pix=st.pix,
+                    act=st.active.astype(jnp.int32),
+                )
+                # sample-major decomposition: [p_base, s_base] = divmod(q, spp)
+                scal = jnp.stack([
+                    st.next_q // spp, st.next_q % spp,
+                    jnp.int32(spp), jnp.int32(P),
+                    jnp.asarray(pix_offset, jnp.int32), jnp.int32(total_pixels),
+                    jnp.int32(nx), jnp.int32(ny),
+                ])
+                if use_kernel_rng:
+                    # every uniform this iteration needs comes from the TPU
+                    # hardware PRNG inside the refill kernel — no XLA threefry
+                    key2 = jax.random.key_data(
+                        artrng.fold(key, st.it)
+                    ).astype(jnp.int32)
+                    if use_seam:
+                        base = jnp.clip(
+                            jax.lax.shift_right_logical(st.fmin, 7),
+                            0, n_hi_pallas - n_hi_win,
+                        )
+                        window = jax.lax.dynamic_slice(
+                            st.fb, (base, 0), (n_hi_win, 384)
+                        )
+                        (new, take_count, u_ball, u_choice, u_media,
+                         window2) = fused_refill_flush_rng(
+                            planes, key2, cam_vec, scal, window, base,
+                            n_media=max(tables.n_media, 1),
+                        )
+                        fb_flushed = jax.lax.dynamic_update_slice(
+                            st.fb, window2, (base, 0)
+                        )
+                    else:
+                        (new, take_count, u_ball, u_choice,
+                         u_media) = fused_refill_rng(
+                            planes, key2, cam_vec, scal,
+                            n_media=max(tables.n_media, 1),
+                        )
+                else:
+                    U = artrng.uniform(artrng.fold(key, st.it), (ncols, R))
+                    u_ball = (U[0], U[1], U[2])
+                    u_choice = U[_U_CHOICE]
+                    u_media = U[_U_MEDIA:]
+                    new, take_count = fused_refill(
+                        planes,
+                        (U[_U_JITTER0], U[_U_JITTER1], U[_U_LENS0], U[_U_LENS1],
+                         U[_U_TIME]),
+                        cam_vec, scal,
+                    )
+                o = (new["ox"], new["oy"], new["oz"])
+                d = (new["dx"], new["dy"], new["dz"])
+                tm = new["tm"]
+                throughput = (new["t0"], new["t1"], new["t2"])
+                radiance = (new["r0"], new["r1"], new["r2"])
+                bounce = new["bounce"]
+                pix = new["pix"]
+                active = new["act"] != 0
+                next_q = st.next_q + take_count
+            else:
+                # ---- refill dead slots from the global queue (jnp path) ----
+                U = artrng.uniform(artrng.fold(key, st.it), (ncols, R))
+                u_ball = (U[0], U[1], U[2])
+                u_choice = U[_U_CHOICE]
+                u_media = U[_U_MEDIA:]
+                dead = ~st.active
+                dead_i = dead.astype(jnp.int32)
+                rank = jnp.cumsum(dead_i) - dead_i  # exclusive prefix among dead
+                q = st.next_q + rank
+                take = dead & (q < n_q)
+                # sample-major: spp consecutive queue ids share a pixel, so
+                # live pixels form a monotone band (windowed-flush invariant)
+                p_row = q // spp
+                pixel = jnp.minimum(pix_offset + p_row, total_pixels - 1)
+                i = (pixel % nx).astype(jnp.float32)
+                j = (pixel // nx).astype(jnp.float32)
+                s = (i + U[_U_JITTER0]) / nx
+                t = (j + U[_U_JITTER1]) / ny
+                o_new, d_new, tm_new = rays_from_uniforms_p(
+                    cam, s, t, U[_U_LENS0], U[_U_LENS1], U[_U_TIME]
+                )
 
-        # ---- one bounce for the whole pool ----
-        o2, d2, throughput, radiance, survived = _bounce_step(
-            tables, o, d, tm, throughput, radiance, active,
-            u_ball, u_choice, u_media, background, gradient_bg,
-        )
-        bounce = bounce + active.astype(jnp.int32)
-        depth_ok = bounce < max_depth
-        still_alive = survived & depth_ok
+                o = p_where(take, o_new, st.o)
+                d = p_where(take, d_new, st.d)
+                tm = jnp.where(take, tm_new, st.tm)
+                throughput = p_where(take, (ones, ones, ones), st.throughput)
+                radiance = p_where(take, (zeros, zeros, zeros), st.radiance)
+                bounce = jnp.where(take, 0, st.bounce)
+                pix = jnp.where(take, p_row, st.pix)
+                active = st.active | take
+                next_q = st.next_q + jnp.sum(take.astype(jnp.int32))
+
+            if _STATS_NEEDY and tables.sph_tail_box:
+                from art_tpu.ops.compact_sphere import tail_box_needy
+
+                needy = tail_box_needy(tables.sph_tail_box, o, d, 1e-3) & active
+                ncnt = jnp.sum(needy.astype(jnp.int32))
+                bucket = jnp.clip((ncnt * 16) // R, 0, 15)
+                aux = st.aux.at[bucket].add(1)
+                aux = aux.at[16].add(ncnt)
+                aux = aux.at[17].add(jnp.sum(active.astype(jnp.int32)))
+            else:
+                aux = st.aux
+
+            # ---- one bounce for the whole pool ----
+            o2, d2, throughput, radiance, survived = _bounce_step(
+                tables, o, d, tm, throughput, radiance, active,
+                u_ball, u_choice, u_media, background, gradient_bg,
+            )
+            bounce = bounce + active.astype(jnp.int32)
+            depth_ok = bounce < max_depth
+            still_alive = survived & depth_ok
 
         # ---- flush newly-terminated rays to the framebuffer ----
         died = active & ~still_alive
-        if use_seam:
+        if use_sp_flush:
+            fb = fb_sp  # flushed inside the SP kernel this iteration
+        elif use_seam:
             # flushed at the top of the NEXT iteration inside the refill
             # kernel; carry the window base for it
             fb = fb_flushed

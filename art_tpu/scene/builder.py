@@ -771,4 +771,79 @@ class _Compiler:
                 sph_bvh=jnp.asarray(pack_bvh(tree)),
                 n_sph_bvh_nodes=tree.n_nodes,
             )
+        tables = dataclasses.replace(tables, sp_consts=self._sp_consts(tables))
         return tables
+
+    def _sp_consts(self, tables):
+        """Short-path megakernel gate + baked constants (ops/sp_kernel.py).
+
+        Qualifies small fully-static scenes — no boxes/media/moving
+        spheres, <= 16 primitives, materials in {lambertian, metal,
+        dielectric, diffuse_light}, textures solid or checker-of-solids —
+        and bakes every primitive/material parameter as f32-rounded python
+        floats so the fused kernel sees the SAME values the table-driven
+        kernels read from their f32 tables."""
+        if self.boxes or self.media:
+            return None
+        if not (0 < len(self.spheres) + len(self.quads) <= 16):
+            return None
+        if self.spheres and tables.has_moving:
+            return None
+
+        def f32(v):
+            return float(np.float32(v))
+
+        mats = []
+        for m in self.mats:
+            ty = int(m["type"])
+            if ty not in (0, 1, 2, 3):
+                return None
+            tex_kind, s_rgb, isc, o_rgb = 0, (0.0,) * 3, 0.0, (0.0,) * 3
+            if ty in (0, 3):  # texture-backed: lambertian / diffuse_light
+                tx = self.texs[int(m["tex"])]
+                if tx["type"] == int(TexType.SOLID):
+                    s_rgb = tuple(f32(v) for v in tx["rgb"])
+                elif tx["type"] == int(TexType.CHECKER):
+                    even = self.texs[tx["child"][0]]
+                    odd = self.texs[tx["child"][1]]
+                    if (even["type"] != int(TexType.SOLID)
+                            or odd["type"] != int(TexType.SOLID)):
+                        return None
+                    tex_kind = 1
+                    isc = f32(tx["params"][0])
+                    s_rgb = tuple(f32(v) for v in even["rgb"])
+                    o_rgb = tuple(f32(v) for v in odd["rgb"])
+                else:
+                    return None
+            mats.append((
+                ty, f32(m["fuzz"]), f32(m["ref_idx"]),
+                *(f32(v) for v in m["rgb"]),
+                tex_kind, *s_rgb, isc, *o_rgb,
+            ))
+
+        spheres = ()
+        if self.spheres:
+            c = np.asarray(tables.sph_center, np.float32)
+            r = np.asarray(tables.sph_radius, np.float32)
+            mi = np.asarray(tables.sph_mat)
+            spheres = tuple(
+                (float(c[i, 0]), float(c[i, 1]), float(c[i, 2]),
+                 float(r[i]), int(mi[i]))
+                for i in range(len(self.spheres))
+            )
+        quads = ()
+        if self.quads:
+            qn = np.asarray(tables.quad_n, np.float32)
+            qd = np.asarray(tables.quad_d, np.float32)
+            qa = np.asarray(tables.quad_avec, np.float32)
+            ca = np.asarray(tables.quad_ca, np.float32)
+            qb = np.asarray(tables.quad_bvec, np.float32)
+            cb = np.asarray(tables.quad_cb, np.float32)
+            qm = np.asarray(tables.quad_mat)
+            quads = tuple(
+                (*map(float, qn[i]), float(qd[i]),
+                 *map(float, qa[i]), float(ca[i]),
+                 *map(float, qb[i]), float(cb[i]), int(qm[i]))
+                for i in range(len(self.quads))
+            )
+        return (spheres, quads, tuple(mats))

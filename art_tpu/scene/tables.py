@@ -233,6 +233,11 @@ class SceneTables:
     # static_sphere_cells.  None = scene too large to unroll (> 2048
     # spheres).  Opt-in via ART_TPU_SPH_STATIC (pending TPU A/B).
     sph_static_cells: tuple | None = _static()
+    # Compile-time scene constants for the short-path megakernel
+    # (ops/sp_kernel.py): (spheres, quads, mats) nested tuple, see that
+    # module's docstring.  None = scene fails the SP gate (boxes, media,
+    # moving spheres, > 16 prims, or non-solid/checker textures).
+    sp_consts: tuple | None = _static()
 
 
 def _z(shape, dtype=jnp.float32):
@@ -335,4 +340,5 @@ def empty_tables() -> dict:
         box_grid_mat=-1.0,
         box_grid_cells=None,
         sph_static_cells=None,
+        sp_consts=None,
     )

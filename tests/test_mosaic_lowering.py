@@ -347,3 +347,73 @@ def test_full_wavefront_step_lowers_compact_turb(scene_name, monkeypatch):
         spp=8, tile_pixels=1024, total_pixels=64 * 64, nx=64, ny=64,
         max_depth=8, gradient_bg=scene.gradient_bg, n_slots=2 * RB,
     ).lower(lowering_platforms=("tpu",))
+
+
+@pytest.mark.parametrize(
+    "scene_name", ["quads", "three_spheres", "checkered_spheres"]
+)
+def test_sp_kernel_lowers(scene_name):
+    """Short-path megakernel (ops/sp_kernel.py): both RNG and
+    uniforms-as-inputs variants cross-lower for every gated scene."""
+    from art_tpu.ops.refill_kernel import pack_camera
+    from art_tpu.ops.sp_kernel import sp_step, sp_step_rng
+
+    scene = build_scene(scene_name, 64, 32)
+    assert scene.tables.sp_consts is not None
+    cam_vec = pack_camera(scene.camera)
+    z = jnp.zeros((RB,), jnp.float32)
+    zi = jnp.zeros((RB,), jnp.int32)
+    planes = dict(
+        ox=z, oy=z, oz=z, dx=z, dy=z, dz=z, tm=z,
+        t0=z, t1=z, t2=z, r0=z, r1=z, r2=z,
+        bounce=zi, pix=zi, act=zi,
+    )
+    scal = jnp.zeros((8,), jnp.int32)
+    key2 = jnp.zeros((2,), jnp.int32)
+    bg = jnp.zeros((3,), jnp.float32)
+    kw = dict(
+        consts=scene.tables.sp_consts, n_media=1, max_depth=50,
+        gradient=scene.gradient_bg,
+    )
+    _lower_tpu(
+        lambda p, k, c, s, b: sp_step_rng(p, k, c, s, b, **kw),
+        planes, key2, cam_vec, scal, bg,
+    )
+    uni = tuple(z for _ in range(10))
+    _lower_tpu(
+        lambda p, u, c, s, b: sp_step(p, u, c, s, b, **kw),
+        planes, uni, cam_vec, scal, bg,
+    )
+    from art_tpu.ops.sp_kernel import sp_step_flush_rng
+
+    window = jnp.zeros((16, 384), jnp.float32)
+    _lower_tpu(
+        lambda p, k, c, s, b, w: sp_step_flush_rng(
+            p, k, c, s, b, w, jnp.int32(0), **kw
+        ),
+        planes, key2, cam_vec, scal, bg, window,
+    )
+
+
+def test_full_wavefront_step_lowers_sp(monkeypatch):
+    """The full render step with the short-path megakernel engaged
+    (use_sp gate on: kernel RNG + sp_consts) cross-lowers."""
+    monkeypatch.setenv("ART_TPU_FORCE_PALLAS", "1")
+    from art_tpu.render.integrator import render_wavefront
+
+    scene = build_scene("quads", 64, 32)
+    assert scene.tables.sp_consts is not None
+    key = jax.random.PRNGKey(0)
+    bg = jnp.asarray(scene.background, jnp.float32)
+    jitted = jax.jit(
+        render_wavefront,
+        static_argnames=(
+            "spp", "tile_pixels", "total_pixels", "nx", "ny",
+            "max_depth", "gradient_bg", "n_slots",
+        ),
+    )
+    jitted.trace(
+        scene.tables, scene.camera, jnp.int32(0), key=key, background=bg,
+        spp=8, tile_pixels=1024, total_pixels=64 * 32, nx=64, ny=32,
+        max_depth=8, gradient_bg=scene.gradient_bg, n_slots=RB,
+    ).lower(lowering_platforms=("tpu",))

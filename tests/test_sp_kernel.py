@@ -1,0 +1,230 @@
+"""Interpret-mode equivalence: short-path megakernel (ops/sp_kernel.py)
+vs the staged reference path (jnp refill + integrator._bounce_step).
+
+The SP kernel fuses refill+intersect+shade for builder-gated small static
+scenes; these tests drive it with explicit uniforms (sp_step) against the
+CPU jnp reference composition on the gated scenes (three_spheres, quads,
+checkered_spheres) plus a custom scene covering diffuse_light emission.
+
+Tolerance note: the kernel computes the in-ball radius as exp(log(u)/3)
+(Mosaic has no cbrt lowering) — ~1-ulp off jnp.cbrt — and candidate
+t values come from the Pallas kernels' fused-root form, so float planes
+are compared with tight tolerances rather than bitwise, and a <=2-ray
+budget absorbs knife-edge discrete flips (Schlick coin, metal graze).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from art_tpu.core.camera import make_camera
+from art_tpu.models import build_scene
+from art_tpu.ops.refill_kernel import RAY_BLOCK, pack_camera
+from art_tpu.ops.sp_kernel import sp_step
+from art_tpu.render.integrator import _bounce_step
+from tests.test_refill_kernel import _jnp_refill
+
+R = RAY_BLOCK
+
+MAX_DEPTH = 50
+FLOAT_NAMES = ("ox", "oy", "oz", "dx", "dy", "dz", "tm",
+               "t0", "t1", "t2", "r0", "r1", "r2")
+
+
+def _gated_scene(name):
+    scene = build_scene(name, 96, 48)
+    assert scene.tables.sp_consts is not None, f"{name} lost the SP gate"
+    return scene
+
+
+def _light_scene():
+    """Custom gated scene covering diffuse_light + checker."""
+    from art_tpu.scene.builder import SceneBuilder
+    from art_tpu.scene.materials import DiffuseLight, Lambertian, Metal
+    from art_tpu.scene.objects import Quad, Sphere
+    from art_tpu.scene.textures import Checker, SolidColor
+
+    b = SceneBuilder().set_name("sp_light_test")
+    check = Checker(0.8, SolidColor((0.9, 0.9, 0.9)), SolidColor((0.1, 0.2, 0.3)))
+    b.add(Sphere((0, -100.5, -1), 100.0, Lambertian(check)))
+    b.add(Sphere((0, 0, -1), 0.5, Metal((0.8, 0.6, 0.2), 0.3)))
+    b.add(Quad((-1, 2, -2), (2, 0, 0), (0, 0, 2), DiffuseLight((4, 4, 4))))
+    b.set_camera(lookfrom=(0, 0, 2), lookat=(0, 0, -1), vup=(0, 1, 0),
+                 vfov_degrees=60.0, aspect=2.0, aperture=0.0, focus_dist=3.0)
+    b.set_background((0, 0, 0), gradient=False)
+    scene = b.compile()
+    assert scene.tables.sp_consts is not None
+    return scene
+
+
+def _random_state(seed, frac_active):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 24)
+    planes = {}
+    for i, n in enumerate(("ox", "oy", "oz")):
+        planes[n] = jax.random.uniform(ks[i], (R,), jnp.float32) * 4 - 2
+    for i, n in enumerate(("dx", "dy", "dz")):
+        planes[n] = jax.random.uniform(ks[3 + i], (R,), jnp.float32) * 2 - 1
+    planes["tm"] = jax.random.uniform(ks[6], (R,), jnp.float32)
+    for i, n in enumerate(("t0", "t1", "t2")):
+        planes[n] = jax.random.uniform(ks[7 + i], (R,), jnp.float32)
+    for i, n in enumerate(("r0", "r1", "r2")):
+        planes[n] = jax.random.uniform(ks[10 + i], (R,), jnp.float32) * 0.2
+    planes["bounce"] = jax.random.randint(ks[13], (R,), 0, MAX_DEPTH, jnp.int32)
+    planes["pix"] = jax.random.randint(ks[14], (R,), 0, 999, jnp.int32)
+    planes["act"] = (
+        jax.random.uniform(ks[15], (R,)) < frac_active
+    ).astype(jnp.int32)
+    uniforms = tuple(jax.random.uniform(ks[16 + i], (R,), jnp.float32)
+                     for i in range(10))
+    return planes, uniforms
+
+
+def _reference_step(scene, planes, uniforms, cam, next_q, spp, P,
+                    pix_offset, total_pixels, nx, ny, background, gradient):
+    tables = scene.tables
+    refill, take = _jnp_refill(
+        planes, uniforms[:5], cam, next_q, spp, P, pix_offset,
+        total_pixels, nx, ny,
+    )
+    o = (refill["ox"], refill["oy"], refill["oz"])
+    d = (refill["dx"], refill["dy"], refill["dz"])
+    thr = (refill["t0"], refill["t1"], refill["t2"])
+    rad = (refill["r0"], refill["r1"], refill["r2"])
+    active = refill["act"] != 0
+    u_ball = uniforms[5:8]
+    u_choice = uniforms[8]
+    u_media = jnp.stack([uniforms[9]])
+    o2, d2, thr2, rad2, survived = _bounce_step(
+        tables, o, d, refill["tm"], thr, rad, active,
+        u_ball, u_choice, u_media, background, gradient,
+    )
+    bounce = refill["bounce"] + active.astype(jnp.int32)
+    still = survived & (bounce < MAX_DEPTH)
+    died = active & ~still
+    out = dict(refill)
+    out.update(
+        ox=o2[0], oy=o2[1], oz=o2[2], dx=d2[0], dy=d2[1], dz=d2[2],
+        t0=thr2[0], t1=thr2[1], t2=thr2[2],
+        r0=rad2[0], r1=rad2[1], r2=rad2[2],
+        bounce=bounce, act=still.astype(jnp.int32),
+    )
+    return out, take, died
+
+
+def _run_case(scene, seed, frac_active=0.7, next_q=123, spp=7, P=800,
+              pix_offset=0, total_pixels=4608, nx=96, ny=48):
+    cam_args = dict(
+        lookfrom=(0, 0, 2), lookat=(0, 0, -1), vup=(0, 1, 0),
+        vfov_degrees=60.0, aspect=2.0, aperture=0.05, focus_dist=3.0,
+        time0=0.0, time1=1.0,
+    )
+    cam = make_camera(**cam_args)
+    planes, uniforms = _random_state(seed, frac_active)
+    scal = jnp.asarray(
+        [next_q // spp, next_q % spp, spp, P, pix_offset, total_pixels,
+         nx, ny], jnp.int32,
+    )
+    background = jnp.asarray(scene.background, jnp.float32)
+    got, got_take, got_died = sp_step(
+        planes, uniforms, pack_camera(cam), scal, background,
+        consts=scene.tables.sp_consts, n_media=1, max_depth=MAX_DEPTH,
+        gradient=scene.gradient_bg, interpret=True,
+    )
+    want, want_take, want_died = _reference_step(
+        scene, planes, uniforms, cam, next_q, spp, P, pix_offset,
+        total_pixels, nx, ny, background, scene.gradient_bg,
+    )
+    assert int(got_take) == int(want_take)
+
+    # Discrete agreement with a tiny knife-edge budget.
+    act_mism = int(np.sum(np.asarray(got["act"]) != np.asarray(want["act"])))
+    died_mism = int(np.sum(np.asarray(got_died) != np.asarray(want_died)))
+    assert act_mism <= 2, act_mism
+    assert died_mism <= 2, died_mism
+    agree = (
+        (np.asarray(got["act"]) == np.asarray(want["act"]))
+        & (np.asarray(got_died) == np.asarray(want_died))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["bounce"]), np.asarray(want["bounce"])
+    )
+    np.testing.assert_array_equal(np.asarray(got["pix"]),
+                                  np.asarray(want["pix"]))
+    for name in FLOAT_NAMES:
+        a = np.asarray(got[name])[agree]
+        b = np.asarray(want[name])[agree]
+        np.testing.assert_allclose(
+            a, b, rtol=2e-4, atol=2e-5, err_msg=name
+        )
+
+
+@pytest.mark.parametrize("name", ["three_spheres", "quads",
+                                  "checkered_spheres"])
+@pytest.mark.parametrize("seed", [0, 7])
+def test_sp_step_matches_staged(name, seed):
+    _run_case(_gated_scene(name), seed)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_sp_step_light_and_checker(seed):
+    _run_case(_light_scene(), seed)
+
+
+def test_sp_step_feedback_loop():
+    """30 chained iterations from an empty pool: radiance conservation and
+    pool bookkeeping stay in lockstep with the staged path."""
+    scene = _gated_scene("three_spheres")
+    cam = make_camera(
+        lookfrom=(0, 0, 2), lookat=(0, 0, -1), vup=(0, 1, 0),
+        vfov_degrees=60.0, aspect=2.0, aperture=0.0, focus_dist=3.0,
+        time0=0.0, time1=1.0,
+    )
+    spp, P, nx, ny = 4, 512, 96, 48
+    background = jnp.asarray(scene.background, jnp.float32)
+
+    def empty():
+        z = jnp.zeros((R,), jnp.float32)
+        return dict(
+            ox=z, oy=z, oz=z, dx=z, dy=z, dz=z + 1.0, tm=z,
+            t0=z + 1, t1=z + 1, t2=z + 1, r0=z, r1=z, r2=z,
+            bounce=jnp.zeros((R,), jnp.int32),
+            pix=jnp.zeros((R,), jnp.int32),
+            act=jnp.zeros((R,), jnp.int32),
+        )
+
+    got, want = empty(), empty()
+    next_q_g = next_q_w = 0
+    fb_g = np.zeros(P)
+    fb_w = np.zeros(P)
+    for it in range(30):
+        ks = jax.random.split(jax.random.PRNGKey(1000 + it), 10)
+        uniforms = tuple(jax.random.uniform(ks[i], (R,), jnp.float32)
+                         for i in range(10))
+        scal = jnp.asarray(
+            [next_q_g // spp, next_q_g % spp, spp, P, 0, P, nx, ny],
+            jnp.int32,
+        )
+        got, take_g, died_g = sp_step(
+            got, uniforms, pack_camera(cam), scal, background,
+            consts=scene.tables.sp_consts, n_media=1, max_depth=MAX_DEPTH,
+            gradient=scene.gradient_bg, interpret=True,
+        )
+        next_q_g += int(take_g)
+        want, take_w, died_w = _reference_step(
+            scene, want, uniforms, cam, next_q_w, spp, P, 0, P, nx, ny,
+            background, scene.gradient_bg,
+        )
+        next_q_w += int(take_w)
+        dg = np.asarray(died_g)
+        dw = np.asarray(died_w)
+        np.add.at(fb_g, np.asarray(got["pix"])[dg],
+                  np.asarray(got["r0"])[dg])
+        np.add.at(fb_w, np.asarray(want["pix"])[dw],
+                  np.asarray(want["r0"])[dw])
+    assert next_q_g == next_q_w
+    # Aggregate radiance agreement (per-ray paths may diverge at
+    # knife-edge Schlick draws after many chained bounces).
+    np.testing.assert_allclose(fb_g.sum(), fb_w.sum(), rtol=1e-3)
+    close = np.isclose(fb_g, fb_w, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.99, close.mean()
