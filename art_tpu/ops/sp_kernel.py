@@ -43,6 +43,10 @@ pytree metadata, hashable):
     mats:    ((type, fuzz, ref_idx, m_r, m_g, m_b,     # metal albedo
                tex_kind, s_r, s_g, s_b,                # solid / checker even
                inv_scale, o_r, o_g, o_b), ...)         # checker odd
+
+tex_kind: 0 solid, 1 checker-of-solids, 2 perlin marble (noise scale in
+the inv_scale slot; the gather-free turbulence hash chain inlines — see
+_sp_bounce).
 """
 
 from __future__ import annotations
@@ -166,6 +170,27 @@ def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
     rad = tuple(rad[c] + jnp.where(miss, thr[c] * bg[c], 0.0)
                 for c in range(3))
 
+    # ---- shared turbulence for marble textures (src/texture.cuh:62-76):
+    # turb(p, 7) is scale-independent, so ONE evaluation serves every
+    # noise material.  The hash chain is gather-free integer math
+    # (ops/perlin_kernel.py) and sin lowers in Mosaic, so the whole
+    # marble formula inlines.  Misses carry p ~ 1e30 — clamp to keep the
+    # int casts defined (the value is masked out by `sel` below). ----
+    if any(m[6] == 2 for m in mats):
+        from art_tpu.ops.perlin_kernel import _noise
+
+        pt = tuple(jnp.where(hit, p[c], 0.0) for c in range(3))
+        turb = jnp.zeros(shape, jnp.float32)
+        weight = 1.0
+        tx_, ty_, tz_ = pt
+        for _ in range(7):
+            turb = turb + weight * _noise(tx_, ty_, tz_)
+            weight *= 0.5
+            tx_, ty_, tz_ = tx_ * 2.0, ty_ * 2.0, tz_ * 2.0
+        turb = jnp.abs(turb)
+    else:
+        turb = None
+
     # ---- per-material parameter resolve (immediates by winner id) ----
     mtype = zeros
     fuzz = zeros
@@ -191,6 +216,9 @@ def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
                 tv = (jnp.where(even, s_r, o_r),
                       jnp.where(even, s_g, o_g),
                       jnp.where(even, s_b, o_b))
+            elif tk == 2:  # perlin marble (src/texture.cuh:62-76)
+                t = 0.5 * (1.0 + jnp.sin(isc * p[2] + 10.0 * turb))
+                tv = (t, t, t)
             else:
                 tv = (s_r, s_g, s_b)
             texv = tuple(jnp.where(sel, tv[c], texv[c]) for c in range(3))

@@ -779,10 +779,12 @@ class _Compiler:
 
         Qualifies small fully-static scenes — no boxes/media/moving
         spheres, <= 16 primitives, materials in {lambertian, metal,
-        dielectric, diffuse_light}, textures solid or checker-of-solids —
-        and bakes every primitive/material parameter as f32-rounded python
-        floats so the fused kernel sees the SAME values the table-driven
-        kernels read from their f32 tables."""
+        dielectric, diffuse_light}, textures solid, checker-of-solids or
+        perlin-marble noise (the turbulence hash chain is gather-free and
+        inlines into the kernel, ops/perlin_kernel.py) — and bakes every
+        primitive/material parameter as f32-rounded python floats so the
+        fused kernel sees the SAME values the table-driven kernels read
+        from their f32 tables."""
         if self.boxes or self.media:
             return None
         if not (0 < len(self.spheres) + len(self.quads) <= 16):
@@ -813,6 +815,11 @@ class _Compiler:
                     isc = f32(tx["params"][0])
                     s_rgb = tuple(f32(v) for v in even["rgb"])
                     o_rgb = tuple(f32(v) for v in odd["rgb"])
+                elif tx["type"] == int(TexType.NOISE):
+                    # marble: 0.5*(1+sin(scale*z + 10*turb(p,7)))
+                    # (src/texture.cuh:62-76); scale rides the isc slot
+                    tex_kind = 2
+                    isc = f32(tx["params"][0])
                 else:
                     return None
             mats.append((

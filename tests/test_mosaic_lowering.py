@@ -350,7 +350,8 @@ def test_full_wavefront_step_lowers_compact_turb(scene_name, monkeypatch):
 
 
 @pytest.mark.parametrize(
-    "scene_name", ["quads", "three_spheres", "checkered_spheres"]
+    "scene_name", ["quads", "three_spheres", "checkered_spheres",
+                   "perlin", "simple_light_book"]
 )
 def test_sp_kernel_lowers(scene_name):
     """Short-path megakernel (ops/sp_kernel.py): both RNG and
@@ -395,13 +396,15 @@ def test_sp_kernel_lowers(scene_name):
     )
 
 
-def test_full_wavefront_step_lowers_sp(monkeypatch):
+@pytest.mark.parametrize("scene_name", ["quads", "perlin"])
+def test_full_wavefront_step_lowers_sp(monkeypatch, scene_name):
     """The full render step with the short-path megakernel engaged
-    (use_sp gate on: kernel RNG + sp_consts) cross-lowers."""
+    (use_sp gate on: kernel RNG + sp_consts) cross-lowers — incl. the
+    inline-turbulence marble form (perlin)."""
     monkeypatch.setenv("ART_TPU_FORCE_PALLAS", "1")
     from art_tpu.render.integrator import render_wavefront
 
-    scene = build_scene("quads", 64, 32)
+    scene = build_scene(scene_name, 64, 32)
     assert scene.tables.sp_consts is not None
     key = jax.random.PRNGKey(0)
     bg = jnp.asarray(scene.background, jnp.float32)

@@ -113,7 +113,8 @@ def _reference_step(scene, planes, uniforms, cam, next_q, spp, P,
 
 
 def _run_case(scene, seed, frac_active=0.7, next_q=123, spp=7, P=800,
-              pix_offset=0, total_pixels=4608, nx=96, ny=48):
+              pix_offset=0, total_pixels=4608, nx=96, ny=48,
+              rtol=2e-4, atol=2e-5, outlier_budget=0):
     cam_args = dict(
         lookfrom=(0, 0, 2), lookat=(0, 0, -1), vup=(0, 1, 0),
         vfov_degrees=60.0, aspect=2.0, aperture=0.05, focus_dist=3.0,
@@ -154,9 +155,14 @@ def _run_case(scene, seed, frac_active=0.7, next_q=123, spp=7, P=800,
     for name in FLOAT_NAMES:
         a = np.asarray(got[name])[agree]
         b = np.asarray(want[name])[agree]
-        np.testing.assert_allclose(
-            a, b, rtol=2e-4, atol=2e-5, err_msg=name
-        )
+        if outlier_budget:
+            bad = ~np.isclose(a, b, rtol=rtol, atol=atol)
+            assert int(bad.sum()) <= outlier_budget, (
+                name, int(bad.sum()), outlier_budget)
+        else:
+            np.testing.assert_allclose(
+                a, b, rtol=rtol, atol=atol, err_msg=name
+            )
 
 
 @pytest.mark.parametrize("name", ["three_spheres", "quads",
@@ -164,6 +170,20 @@ def _run_case(scene, seed, frac_active=0.7, next_q=123, spp=7, P=800,
 @pytest.mark.parametrize("seed", [0, 7])
 def test_sp_step_matches_staged(name, seed):
     _run_case(_gated_scene(name), seed)
+
+
+@pytest.mark.parametrize("name", ["perlin", "simple_light_book"])
+@pytest.mark.parametrize("seed", [0, 7])
+def test_sp_step_matches_staged_noise(name, seed):
+    """Noise-marble scenes: the r=1000 ground sphere amplifies the
+    kernel's ~1-ulp root differences into ~1e-4 hit-point shifts, and the
+    7-octave hash turbulence (chaotic by construction) amplifies those
+    into ~1e-3 texture differences — so float planes get looser
+    tolerances plus a knife-edge budget (measured: <= 5 lanes/plane flip
+    their grazing hit on the big sphere; aggregate correctness is gated
+    by the golden-image parity tests and on-chip SP-vs-staged A/B)."""
+    _run_case(_gated_scene(name), seed, rtol=5e-3, atol=5e-4,
+              outlier_budget=8)
 
 
 @pytest.mark.parametrize("seed", [3, 11])
