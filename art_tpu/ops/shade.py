@@ -48,6 +48,25 @@ def _ball_from_uniforms_p(u0, u1, u2):
     return (r * s * jnp.cos(phi), r * s * jnp.sin(phi), r * z)
 
 
+def shade_params_p(tables: SceneTables, rec: HitRecordP):
+    """Per-ray material/texture parameter fetch shared by shade_p and the
+    fused shade kernel (ops/shade_kernel.py): one packed MXU fetch for all
+    material parameters (ops/gather.py layout
+    [type, tex, fuzz, ref_idx, r, g, b, _]) plus one texture evaluation
+    (serves lambertian/isotropic attenuation and diffuse_light emission —
+    all are texture-backed rows).
+
+    Returns (mtype f32, fuzz, ref_idx, metal_albedo 3-tuple,
+    tex_val 3-tuple)."""
+    from art_tpu.ops.gather import take_rows
+
+    mrow = take_rows(tables.mat_packed, rec.mat)
+    tex_id = mrow[:, 1].astype(jnp.int32)
+    tex_val = eval_texture_p(tables, tex_id, rec.u, rec.v, rec.p)
+    return (mrow[:, 0], mrow[:, 2], mrow[:, 3],
+            (mrow[:, 4], mrow[:, 5], mrow[:, 6]), tex_val)
+
+
 def shade_p(
     tables: SceneTables,
     d,  # 3-tuple of (R,) planes: incoming ray direction
@@ -55,18 +74,11 @@ def shade_p(
     u_ball,  # 3-tuple of (R,) uniforms
     u_choice: jnp.ndarray,  # (R,)
 ) -> ScatterResultP:
-    from art_tpu.ops.gather import take_rows
-
-    # One packed fetch for all material parameters (ops/gather.py):
-    # [type, tex, fuzz, ref_idx, r, g, b, _]
-    mrow = take_rows(tables.mat_packed, rec.mat)
-    mtype = mrow[:, 0].astype(jnp.int32)
-    tex_id = mrow[:, 1].astype(jnp.int32)
+    mtype_f, fuzz, ref_idx, metal_albedo, tex_val = shade_params_p(
+        tables, rec
+    )
+    mtype = mtype_f.astype(jnp.int32)
     n = rec.normal
-
-    # One texture evaluation serves lambertian/isotropic attenuation and
-    # diffuse_light emission (all are texture-backed rows).
-    tex_val = eval_texture_p(tables, tex_id, rec.u, rec.v, rec.p)
 
     is_metal = mtype == MatType.METAL
     is_dielectric = mtype == MatType.DIELECTRIC
@@ -84,7 +96,6 @@ def shade_p(
     lambert_dir = (n[0] + ball[0], n[1] + ball[1], n[2] + ball[2])
 
     # ---- metal (src/material.cuh:90-110) ----
-    fuzz = mrow[:, 2]
     metal_refl = p_reflect(p_unit(d), n)
     metal_dir = (
         metal_refl[0] + fuzz * ball[0],
@@ -94,7 +105,6 @@ def shade_p(
     metal_alive = p_dot(metal_dir, n) > 0.0
 
     # ---- dielectric (src/material.cuh:113-159), book-1 form ----
-    ref_idx = mrow[:, 3]
     d_dot_n = p_dot(d, n)
     inside = d_dot_n > 0.0
     outward_n = p_where(inside, (-n[0], -n[1], -n[2]), n)
@@ -117,7 +127,7 @@ def shade_p(
     direction = p_where(is_isotropic, ball, direction)
 
     attenuation = tex_val  # lambertian / isotropic
-    attenuation = p_where(is_metal, (mrow[:, 4], mrow[:, 5], mrow[:, 6]), attenuation)
+    attenuation = p_where(is_metal, metal_albedo, attenuation)
     one = jnp.ones_like(u_choice)
     attenuation = p_where(is_dielectric, (one, one, one), attenuation)
 

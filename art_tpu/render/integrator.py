@@ -120,6 +120,12 @@ _STATS_NEEDY = bool(__import__("os").environ.get("ART_TPU_STATS_NEEDY"))
 # the always-evaluated dielectric lane math outweighs the glue saving).
 _NO_SP = bool(__import__("os").environ.get("ART_TPU_NO_SP"))
 _FORCE_SP = bool(__import__("os").environ.get("ART_TPU_SP"))
+# Fused shade+flush kernel (ops/shade_kernel.py): the staged path's whole
+# bounce tail — scatter math, throughput/radiance update, death
+# bookkeeping and the fb flush of this iteration's died rays — in one
+# Pallas launch.  Opt-in (ART_TPU_SHADE_KERNEL=1) pending on-chip A/B +
+# parity; flip to default once measured.
+_SHADE_K = __import__("os").environ.get("ART_TPU_SHADE_KERNEL") == "1"
 
 
 def _flush_mode(R: int) -> str:
@@ -408,6 +414,22 @@ def render_wavefront(
     # from the min LIVE pixel (<= min died pixel), covered by the same
     # n_hi_win band invariant as the standalone windowed flush.
     use_sp_flush = use_sp and _FLUSH == "pallas" and not _NO_FLUSH
+    # Fused shade+flush kernel for the staged (generic-scene) path: the
+    # intersection kernels and parameter fetches stay staged; the bounce
+    # tail fuses into one launch with the died-ray flush in-register
+    # (ops/shade_kernel.py).  Excluded under ablation stubs (they
+    # instrument the jnp composition) and the seam experiment.
+    use_shade_kernel = (
+        use_fused_refill
+        and _FLUSH == "pallas"
+        and not _NO_FLUSH
+        and not _DBG
+        and not use_seam
+        and _SHADE_K
+    )
+    if use_shade_kernel:
+        from art_tpu.ops.shade import shade_params_p
+        from art_tpu.ops.shade_kernel import shade_flush
     if use_fused_refill:
         from art_tpu.ops.refill_kernel import (
             fused_refill,
@@ -595,19 +617,103 @@ def render_wavefront(
             else:
                 aux = st.aux
 
-            # ---- one bounce for the whole pool ----
-            o2, d2, throughput, radiance, survived = _bounce_step(
-                tables, o, d, tm, throughput, radiance, active,
-                u_ball, u_choice, u_media, background, gradient_bg,
-            )
-            bounce = bounce + active.astype(jnp.int32)
-            depth_ok = bounce < max_depth
-            still_alive = survived & depth_ok
+            if use_shade_kernel:
+                # ---- bounce tail in ONE Pallas launch ----
+                # (ops/shade_kernel.py: scatter + integrate + flush; the
+                # intersection and parameter fetches stay staged)
+                surf = closest_surface_p(tables, o, d, tm, T_MIN)
+                rec = apply_media_p(
+                    tables, o, d, T_MIN, surf, u_media, time=tm
+                )
+                mtype_f, fuzz_pl, refidx_pl, malb_pl, texv_pl = (
+                    shade_params_p(tables, rec)
+                )
+                state_pl = dict(
+                    ox=o[0], oy=o[1], oz=o[2],
+                    dx=d[0], dy=d[1], dz=d[2],
+                    t0=throughput[0], t1=throughput[1], t2=throughput[2],
+                    r0=radiance[0], r1=radiance[1], r2=radiance[2],
+                    bounce=bounce, pix=pix,
+                    act=active.astype(jnp.int32),
+                )
+                rec_pl = dict(
+                    px=rec.p[0], py=rec.p[1], pz=rec.p[2],
+                    nx=rec.normal[0], ny=rec.normal[1], nz=rec.normal[2],
+                    mtype=mtype_f, fuzz=fuzz_pl, refidx=refidx_pl,
+                    ma0=malb_pl[0], ma1=malb_pl[1], ma2=malb_pl[2],
+                    tx0=texv_pl[0], tx1=texv_pl[1], tx2=texv_pl[2],
+                    ub0=u_ball[0], ub1=u_ball[1], ub2=u_ball[2],
+                    uch=u_choice,
+                )
+                # Window base from the min LIVE pixel: every ray that can
+                # die this iteration is active now, so min(active pix)
+                # lower-bounds every died pixel (same n_hi_win band
+                # invariant as the standalone windowed flush below).
+                minpix = jnp.min(
+                    jnp.where(active, pix, jnp.int32(1 << 30))
+                )
+
+                def _run_tail(fb0, b, rows_w):
+                    window = jax.lax.dynamic_slice(
+                        fb0, (b, 0), (rows_w, 384)
+                    )
+                    new, died_k, window2 = shade_flush(
+                        state_pl, rec.hit, rec_pl, background, window, b,
+                        max_depth=max_depth, gradient=gradient_bg,
+                    )
+                    fbn = jax.lax.dynamic_update_slice(
+                        fb0, window2, (b, 0)
+                    )
+                    return new, died_k, fbn
+
+                base = jnp.clip(
+                    jax.lax.shift_right_logical(minpix, 7),
+                    0, n_hi_pallas - n_hi_win,
+                )
+                n_win2 = (_FLUSH_WIN // 8) * 8
+                if 0 < n_win2 < n_hi_win:
+                    # adaptive small window: exact whenever every ACTIVE
+                    # pixel row fits it (a superset of the died rows)
+                    base2 = jnp.clip(
+                        jax.lax.shift_right_logical(minpix, 7),
+                        0, n_hi_pallas - n_win2,
+                    )
+                    maxrow = jax.lax.shift_right_logical(
+                        jnp.max(jnp.where(active, pix, jnp.int32(0))), 7
+                    )
+                    fits = maxrow < base2 + n_win2
+                    new, died_k, fb_shade = jax.lax.cond(
+                        fits,
+                        lambda fb0: _run_tail(fb0, base2, n_win2),
+                        lambda fb0: _run_tail(fb0, base, n_hi_win),
+                        st.fb,
+                    )
+                else:
+                    new, died_k, fb_shade = _run_tail(
+                        st.fb, base, n_hi_win
+                    )
+                o2 = (new["ox"], new["oy"], new["oz"])
+                d2 = (new["dx"], new["dy"], new["dz"])
+                throughput = (new["t0"], new["t1"], new["t2"])
+                radiance = (new["r0"], new["r1"], new["r2"])
+                bounce = new["bounce"]
+                still_alive = new["act"] != 0
+            else:
+                # ---- one bounce for the whole pool ----
+                o2, d2, throughput, radiance, survived = _bounce_step(
+                    tables, o, d, tm, throughput, radiance, active,
+                    u_ball, u_choice, u_media, background, gradient_bg,
+                )
+                bounce = bounce + active.astype(jnp.int32)
+                depth_ok = bounce < max_depth
+                still_alive = survived & depth_ok
 
         # ---- flush newly-terminated rays to the framebuffer ----
         died = active & ~still_alive
         if use_sp_flush:
             fb = fb_sp  # flushed inside the SP kernel this iteration
+        elif not use_sp and use_shade_kernel:
+            fb = fb_shade  # flushed inside the shade kernel
         elif use_seam:
             # flushed at the top of the NEXT iteration inside the refill
             # kernel; carry the window base for it

@@ -420,3 +420,56 @@ def test_full_wavefront_step_lowers_sp(monkeypatch, scene_name):
         spp=8, tile_pixels=1024, total_pixels=64 * 32, nx=64, ny=32,
         max_depth=8, gradient_bg=scene.gradient_bg, n_slots=RB,
     ).lower(lowering_platforms=("tpu",))
+
+
+def test_shade_flush_kernel_lowers():
+    """Fused shade+flush kernel (ops/shade_kernel.py) cross-lowers: the
+    scatter chain, the exp(log/3) ball root, and the in-kernel one-hot
+    MXU flush all have Mosaic lowerings."""
+    from art_tpu.ops.shade_kernel import _REC_F, _STATE_F, _STATE_I, shade_flush
+
+    z = jnp.zeros((RB,), jnp.float32)
+    zi = jnp.zeros((RB,), jnp.int32)
+    state = {n: z for n in _STATE_F}
+    state.update({n: zi for n in _STATE_I})
+    rec = {n: z for n in _REC_F}
+    hit = jnp.zeros((RB,), bool)
+    bg = jnp.zeros((3,), jnp.float32)
+    window = jnp.zeros((16, 384), jnp.float32)
+    for gradient in (False, True):
+        _lower_tpu(
+            lambda s, h, r, b, w: shade_flush(
+                s, h, r, b, w, jnp.int32(0),
+                max_depth=50, gradient=gradient,
+            ),
+            state, hit, rec, bg, window,
+        )
+
+
+@pytest.mark.parametrize("scene_name", ["final_scene", "cornell_smoke"])
+def test_full_wavefront_step_lowers_shade_kernel(scene_name, monkeypatch):
+    """The full render step with the fused shade+flush kernel engaged
+    (ART_TPU_SHADE_KERNEL=1) cross-lowers, incl. the adaptive-window
+    lax.cond over two kernel window shapes."""
+    monkeypatch.setenv("ART_TPU_FORCE_PALLAS", "1")
+    from art_tpu.render import integrator
+
+    monkeypatch.setattr(integrator, "_SHADE_K", True)
+    monkeypatch.setattr(integrator, "_FLUSH_WIN", 16)
+    from art_tpu.render.integrator import render_wavefront
+
+    scene = build_scene(scene_name, 256, 128)
+    key = jax.random.PRNGKey(0)
+    bg = jnp.asarray(scene.background, jnp.float32)
+    jitted = jax.jit(
+        render_wavefront,
+        static_argnames=(
+            "spp", "tile_pixels", "total_pixels", "nx", "ny",
+            "max_depth", "gradient_bg", "n_slots",
+        ),
+    )
+    jitted.trace(
+        scene.tables, scene.camera, jnp.int32(0), key=key, background=bg,
+        spp=50, tile_pixels=32768, total_pixels=256 * 128, nx=256, ny=128,
+        max_depth=8, gradient_bg=scene.gradient_bg, n_slots=RB,
+    ).lower(lowering_platforms=("tpu",))
