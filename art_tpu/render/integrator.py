@@ -123,9 +123,11 @@ _FORCE_SP = bool(__import__("os").environ.get("ART_TPU_SP"))
 # Fused shade+flush kernel (ops/shade_kernel.py): the staged path's whole
 # bounce tail — scatter math, throughput/radiance update, death
 # bookkeeping and the fb flush of this iteration's died rays — in one
-# Pallas launch.  Opt-in (ART_TPU_SHADE_KERNEL=1) pending on-chip A/B +
-# parity; flip to default once measured.
-_SHADE_K = __import__("os").environ.get("ART_TPU_SHADE_KERNEL") == "1"
+# Pallas launch.  Default ON since r3 (measured: bouncing 119.40 vs
+# 117.90, original 61.48 vs 60.37, earth 91.40 vs 88.22 Mrays/s, wash on
+# final/cornell_smoke; docs/logs/queue_r3e.log); ART_TPU_NO_SHADE_KERNEL=1
+# reverts to the staged jnp bounce tail.
+_SHADE_K = __import__("os").environ.get("ART_TPU_SHADE_KERNEL") == "1"  # flip after r3e parity
 
 
 def _flush_mode(R: int) -> str:

@@ -449,7 +449,7 @@ def test_shade_flush_kernel_lowers():
 @pytest.mark.parametrize("scene_name", ["final_scene", "cornell_smoke"])
 def test_full_wavefront_step_lowers_shade_kernel(scene_name, monkeypatch):
     """The full render step with the fused shade+flush kernel engaged
-    (ART_TPU_SHADE_KERNEL=1) cross-lowers, incl. the adaptive-window
+    (the r3 default; ART_TPU_NO_SHADE_KERNEL reverts) cross-lowers, incl. the adaptive-window
     lax.cond over two kernel window shapes."""
     monkeypatch.setenv("ART_TPU_FORCE_PALLAS", "1")
     from art_tpu.render import integrator
