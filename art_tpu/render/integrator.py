@@ -127,7 +127,7 @@ _FORCE_SP = bool(__import__("os").environ.get("ART_TPU_SP"))
 # 117.90, original 61.48 vs 60.37, earth 91.40 vs 88.22 Mrays/s, wash on
 # final/cornell_smoke; docs/logs/queue_r3e.log); ART_TPU_NO_SHADE_KERNEL=1
 # reverts to the staged jnp bounce tail.
-_SHADE_K = __import__("os").environ.get("ART_TPU_SHADE_KERNEL") == "1"  # flip after r3e parity
+_SHADE_K = not __import__("os").environ.get("ART_TPU_NO_SHADE_KERNEL")
 
 
 def _flush_mode(R: int) -> str:

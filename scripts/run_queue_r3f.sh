@@ -40,8 +40,11 @@ for s in cornell_smoke quads; do
   say "rc=$?"
 done
 
+# bench.py manages its own lock + yield sentinel; run it BARE — an outer
+# flock deadlocks bench against its own wrapper (it waits on /tmp/tpu.lock
+# internally).  NOTE: this queue was superseded by run_queue_r3g.sh.
 say "=== bench.py standalone (driver contract at new defaults) ==="
-yield_wait; flock "$LOCK" timeout 2400 python bench.py >> "$LOG" 2>&1
+timeout 2400 python bench.py >> "$LOG" 2>&1
 say "bench rc=$?"
 
 say "=== next probes ==="
