@@ -49,6 +49,10 @@ from art_tpu.ops.compact_fetch import compact_ray_ids
 # kernel's ray grid.  Beyond the cap the cond takes the dense branch, so
 # this is a tuning knob, not a correctness bound.
 SPH_K = int(os.environ.get("ART_TPU_SPH_K", "8192"))
+# Opt-in (A/B pending): run the COMPACT branch's K-lane tail pass through
+# the binned skip kernel too — compaction preserves slot (pixel) order, so
+# compacted blocks stay coherent and the per-bin whens can still prune.
+_COMPACT_SKIP = bool(os.environ.get("ART_TPU_COMPACT_SKIP"))
 
 
 def tail_box_needy(box, o, d, t_min: float) -> jnp.ndarray:
@@ -84,16 +88,22 @@ def sphere_hit_attrs_split(
     expand: bool,
     pos_r: bool,
     k: int = 0,  # compacted capacity (0 = SPH_K)
+    use_skip: bool = False,  # block-pruned skip kernel as the fallback
     interpret: bool = False,
 ):
     """Drop-in for sphere_hit_attrs_planar on tail-cluster scenes:
     returns (t, normal 3-tuple, u, v, mat), each (R,).
 
     Caller gates statically: sph_n_tail > 0, sph_tail_box non-empty,
-    R % RAY_BLOCK == 0, R > K, R < 2^24."""
+    R % RAY_BLOCK == 0, R > K, R < 2^24.  With ``use_skip`` the over-K
+    fallback is the block-pruned skip kernel
+    (pallas_kernels._sphere_skip_kernel) instead of the dense scan —
+    the 25-55%-needy cluster-facing dispatches then still prune at
+    (64, 128)-block granularity (caller gates sph_skip_bins)."""
     from art_tpu.ops.pallas_kernels import (
         _sphere_uv_epilogue,
         sphere_hit_attrs_planar,
+        sphere_skip_hit_attrs,
     )
 
     R = o[0].shape[0]
@@ -107,6 +117,14 @@ def sphere_hit_attrs_split(
     cnt = jnp.sum(needy.astype(jnp.int32))
 
     def dense(_):
+        if use_skip:
+            t, n, _, _, m = sphere_skip_hit_attrs(
+                tables.sph_skip_packed, o, d, tm,
+                meta=tables.sph_skip_bins, tail_box=tables.sph_tail_box,
+                tail_r=tables.sph_tail_r, tail_mat=tables.sph_tail_mat,
+                **common,
+            )
+            return t, *n, m
         t, n, _, _, m = sphere_hit_attrs_planar(
             tables.sph_packed, o, d, tm,
             n_moving=tables.sph_n_moving_pad, n_static=tables.sph_n_static,
@@ -131,12 +149,26 @@ def sphere_hit_attrs_split(
         rows_k = packed_in[jnp.clip(ray_k, 0, R - 1)]
         oK = (rows_k[:, 0], rows_k[:, 1], rows_k[:, 2])
         dK = (rows_k[:, 3], rows_k[:, 4], rows_k[:, 5])
-        t_c, n_c, _, _, _ = sphere_hit_attrs_planar(
-            tables.sph_tail_packed, oK, dK, jnp.zeros((K,), jnp.float32),
-            n_moving=0, n_static=n_tail, n_tail=n_tail,
-            tail_r=tables.sph_tail_r, tail_mat=tables.sph_tail_mat,
-            **common,
-        )
+        if use_skip and _COMPACT_SKIP:
+            # Tail-only skip call: head segments skipped via meta
+            # (0, 0, bins); compaction is order-preserving, so the K
+            # lanes stay pixel-coherent and the bin whens keep pruning.
+            t_c, n_c, _, _, _ = sphere_skip_hit_attrs(
+                tables.sph_skip_packed, oK, dK,
+                jnp.zeros((K,), jnp.float32),
+                meta=(0, 0, tables.sph_skip_bins[2]),
+                tail_box=tables.sph_tail_box,
+                tail_r=tables.sph_tail_r, tail_mat=tables.sph_tail_mat,
+                **common,
+            )
+        else:
+            t_c, n_c, _, _, _ = sphere_hit_attrs_planar(
+                tables.sph_tail_packed, oK, dK,
+                jnp.zeros((K,), jnp.float32),
+                n_moving=0, n_static=n_tail, n_tail=n_tail,
+                tail_r=tables.sph_tail_r, tail_mat=tables.sph_tail_mat,
+                **common,
+            )
         # One (K, 4) -> (R, 4) row scatter; empty slots (>= cnt) route to
         # row R and drop.  Non-needy rows stay 0, remapped to BIG below
         # (a real candidate t is always > t_min > 0; a tail miss is BIG).

@@ -154,6 +154,14 @@ _NO_SPH_POS_R = bool(os.environ.get("ART_TPU_NO_SPH_POS_R"))
 # clusters.  ART_TPU_NO_COMPACT_SPH=1 disables.
 _COMPACT_SPH = not bool(os.environ.get("ART_TPU_NO_COMPACT_SPH"))
 _COMPACT_SPH_MIN_TAIL = 512
+# Needy-skip binned sphere kernel (pallas_kernels._sphere_skip_kernel):
+# block-level tail-cluster pruning — the 25-55%-needy cluster-facing
+# dispatches blow past the compacted pass's K capacity and used to fall
+# back to the dense 1008-row scan (docs/logs/needy_r3.log); the skip
+# kernel prunes those at (64, 128)-block granularity instead.  Replaces
+# the dense fallback (and the plain dense path when compaction is off);
+# ART_TPU_NO_SPH_SKIP=1 restores the dense scan.
+_NO_SPH_SKIP = bool(os.environ.get("ART_TPU_NO_SPH_SKIP"))
 # Per-ray BVH descent for spheres (opt-in): the direct analog of the
 # reference's log-n bvh_node::hit (src/bvh.cuh:95-106).  Measured on v5e
 # it loses by an order of magnitude to the brute-force vector kernels —
@@ -560,6 +568,12 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                 pos_r = tables.sph_pos_r and not _NO_SPH_POS_R
                 from art_tpu.ops.compact_sphere import SPH_K
 
+                use_skip = (
+                    not _NO_SPH_SKIP
+                    and not _NO_SPH_TAIL
+                    and tables.sph_skip_bins is not None
+                    and tables.sph_tail_box
+                )
                 if (
                     _COMPACT_SPH
                     and not _NO_SPH_TAIL
@@ -575,6 +589,16 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                     t_s, n_s, u_s, v_s, m_s = sphere_hit_attrs_split(
                         tables, o, d, time,
                         needs_uv=needs_uv, expand=expand, pos_r=pos_r,
+                        use_skip=use_skip,
+                    )
+                elif use_skip:
+                    t_s, n_s, u_s, v_s, m_s = pk.sphere_skip_hit_attrs(
+                        tables.sph_skip_packed, o, d, time,
+                        meta=tables.sph_skip_bins,
+                        tail_box=tables.sph_tail_box,
+                        tail_r=tables.sph_tail_r,
+                        tail_mat=tables.sph_tail_mat,
+                        pos_r=pos_r, expand=expand, needs_uv=needs_uv,
                     )
                 else:
                     t_s, n_s, u_s, v_s, m_s = pk.sphere_hit_attrs_planar(

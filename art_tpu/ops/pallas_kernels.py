@@ -1076,6 +1076,323 @@ def pack_tail_spheres(sph_packed, n_moving_pad: int, n_static: int,
 
 
 # ---------------------------------------------------------------------------
+# Needy-skip binned sphere kernel (tail-cluster scenes)
+# ---------------------------------------------------------------------------
+
+# Minimum tail size for the skip kernel (same class gate as the compacted
+# pass: only the final_scene/original_scene 1000-ball clusters qualify).
+SKIP_MIN_TAIL = 512
+# Bin count for the skip kernel's contiguous tail segments (build-time).
+_SPH_BINS = int(__import__("os").environ.get("ART_TPU_SPH_BINS", "16"))
+
+
+def pack_skip_spheres(sph_packed, n_moving_pad: int, n_static: int,
+                      n_tail: int, axis: int, nbins: int):
+    """Kernel table + compile-time bin metadata for _sphere_skip_kernel.
+
+    Re-lays pack_spheres output as [moving | main | tail bin 0 | bin 1 |
+    ...]: the tail cluster's rows are sorted along world axis ``axis``
+    and split into ``nbins`` equal-count contiguous segments, each padded
+    to the unroll multiple with inert rows (r2 = -1 / K = 1e30, the same
+    Cauchy-Schwarz rejection as pack_spheres).  Returns
+
+        (table (N, 10), (n_moving_rows, n_main_rows,
+                         ((row0, row1, box6), ...)))
+
+    where each bin's ``box6 = (x0, y0, z0, x1, y1, z1)`` bounds its member
+    spheres (centers +- |r|, fp-inflated) — the kernel prunes a whole ray
+    block past any bin whose conservative slab test no lane passes.
+    Row ranges are UNROLL-aligned by construction (no overlap)."""
+    import numpy as np
+
+    pk = np.asarray(sph_packed)
+    pad = 32 * _SPH_UNROLL // math.gcd(32, _SPH_UNROLL)
+    mov = pk[:n_moving_pad]
+    n_main_real = n_static - n_tail
+    main = pk[n_moving_pad : n_moving_pad + n_main_real]
+    tail = pk[n_moving_pad + n_main_real : n_moving_pad + n_static]
+    tail = tail[np.argsort(tail[:, axis], kind="stable")]
+
+    def pad_rows(rows):
+        n_p = -(-len(rows) // pad) * pad
+        out = np.zeros((n_p, 10), np.float32)
+        out[:, 8] = -1.0
+        out[:, 9] = 1e30
+        out[: len(rows)] = rows
+        return out
+
+    segs = [mov]
+    if n_main_real:
+        segs.append(pad_rows(main))
+    n_main_rows = sum(len(s) for s in segs) - len(mov)
+    row0 = len(mov) + n_main_rows
+    edges = np.linspace(0, n_tail, nbins + 1).round().astype(int)
+    bins = []
+    for i in range(nbins):
+        rows = tail[edges[i] : edges[i + 1]]
+        if not len(rows):
+            continue
+        seg = pad_rows(rows)
+        c = rows[:, 0:3].astype(np.float64)
+        r = np.abs(rows[:, 6:7].astype(np.float64))
+        lo3 = (c - r).min(axis=0)
+        hi3 = (c + r).max(axis=0)
+        eps = 1e-3 + 1e-6 * float(np.max(np.abs(np.concatenate([lo3, hi3]))))
+        box = tuple(float(v) for v in np.concatenate([lo3 - eps, hi3 + eps]))
+        bins.append((int(row0), int(row0 + len(seg)), box))
+        segs.append(seg)
+        row0 += len(seg)
+    table = np.concatenate(segs, axis=0)
+    return jnp.asarray(table), (int(len(mov)), int(n_main_rows), tuple(bins))
+
+
+def _slab_interval(box, o, d, t_min: float):
+    """Conservative ray/AABB overlap of the (t_min, inf) segment — the
+    same predicate as compact_sphere.tail_box_needy (zero direction
+    components replaced by +1e-20: errs toward 'crosses', never away)."""
+    x0, y0, z0, x1, y1, z1 = box
+    t_near = jnp.full(o[0].shape, t_min, jnp.float32)
+    t_far = jnp.full(o[0].shape, BIG, jnp.float32)
+    for lo, hi, oc, dc in ((x0, x1, o[0], d[0]),
+                           (y0, y1, o[1], d[1]),
+                           (z0, z1, o[2], d[2])):
+        inv = 1.0 / jnp.where(dc == 0.0, 1e-20, dc)
+        ta = (lo - oc) * inv
+        tb = (hi - oc) * inv
+        t_near = jnp.maximum(t_near, jnp.minimum(ta, tb))
+        t_far = jnp.minimum(t_far, jnp.maximum(ta, tb))
+    return t_far >= t_near
+
+
+def _sphere_skip_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                        dz_ref, tm_ref, t_ref, nx_ref, ny_ref, nz_ref,
+                        mat_ref,
+                        *, n_moving: int, n_main: int, bins: tuple,
+                        tail_box: tuple, tail_r: float, tail_mat: float,
+                        t_min: float, expand: bool, pos_r: bool):
+    """Closest sphere hit with block-level tail-cluster pruning.
+
+    The dense tail loop tests every ray against all ~1000 cluster rows —
+    58% of final_scene's iteration budget (docs/logs/queue_r3a.log) even
+    though only 0-55% of a dispatch's rays can reach the cluster AABB.
+    Per-lane masking cannot reduce VPU work, and the adaptive compaction
+    (ops/compact_sphere.py) caps out at K lanes; this kernel prunes at
+    the granularity Mosaic CAN skip at — the whole (64, 128) ray block:
+
+    1. head loops (moving + main rows) run dense, epilogue written to the
+       output refs unconditionally;
+    2. one conservative slab test marks lanes that can reach the tail
+       cluster; `@pl.when(any(needy))` guards the whole tail stage;
+    3. the tail rows are pre-sorted into ``bins`` contiguous segments
+       along one world axis (pack_skip_spheres) — each bin's loop runs
+       under its own `@pl.when(any lane crosses the bin AABB))` and
+       closest-t-merges its winner into the already-written outputs.
+
+    The wavefront pool is approximately pixel-sorted (refill rank =
+    prefix sum over slot order), so a ray block is a contiguous image
+    span whose rays either face the cluster or don't — and within a
+    facing block, span few of the axis bins.  Candidate math (NaN-reject
+    roots, expanded/standard quadratic, t_min semantics) is case-equal
+    to _sphere_kernel; cross-bin ties may pick a different equally-valid
+    winner than the dense kernel's first-wins scan (measure-zero).
+
+    Replaces the reference's per-thread BVH descent over the cluster
+    (src/bvh.cuh:95-106) with block-synchronous interval pruning."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tm = tm_ref[:]
+
+    a = dx * dx + dy * dy + dz * dz
+    neg_inv_a = -1.0 / a
+    ta2 = -t_min * a
+
+    def _roots(b, c):
+        # NaN-reject form (see _sphere_kernel._roots)
+        disc = b * b - a * c
+        sq = jnp.sqrt(disc)
+        s2 = jnp.where(b + sq < ta2, sq, -sq)
+        return (b + s2) * neg_inv_a
+
+    def update(carry, cand):
+        better = (cand[0] > t_min) & (cand[0] < carry[0])  # false on NaN
+        return tuple(jnp.where(better, n, c) for n, c in zip(cand, carry))
+
+    carry_r = not pos_r
+    zeros = jnp.zeros(ox.shape, jnp.float32)
+
+    if expand:
+        oo = ox * ox + oy * oy + oz * oz
+        od = ox * dx + oy * dy + oz * dz
+        ox2, oy2, oz2 = 2.0 * ox, 2.0 * oy, 2.0 * oz
+
+        def bc(s):
+            cx = sph_ref[s, 0]
+            cy = sph_ref[s, 1]
+            cz = sph_ref[s, 2]
+            b = od - (cx * dx + cy * dy + cz * dz)
+            c = (oo + sph_ref[s, 9]) - (cx * ox2 + cy * oy2 + cz * oz2)
+            return b, c, cx, cy, cz
+    else:
+        def bc(s):
+            cx = sph_ref[s, 0]
+            cy = sph_ref[s, 1]
+            cz = sph_ref[s, 2]
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - sph_ref[s, 8]
+            return b, c, cx, cy, cz
+
+    def candidate_moving(s):
+        cx = sph_ref[s, 0] + tm * sph_ref[s, 3]
+        cy = sph_ref[s, 1] + tm * sph_ref[s, 4]
+        cz = sph_ref[s, 2] + tm * sph_ref[s, 5]
+        ocx = ox - cx
+        ocy = oy - cy
+        ocz = oz - cz
+        b = ocx * dx + ocy * dy + ocz * dz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - sph_ref[s, 8]
+        cand = _roots(b, c)
+        if carry_r:
+            return cand, cx, cy, cz, sph_ref[s, 6], sph_ref[s, 7]
+        return cand, cx, cy, cz, sph_ref[s, 7]
+
+    def candidate_main(s):
+        b, c, cx, cy, cz = bc(s)
+        cand = _roots(b, c)
+        if carry_r:
+            return cand, cx, cy, cz, sph_ref[s, 6], sph_ref[s, 7]
+        return cand, cx, cy, cz, sph_ref[s, 7]
+
+    def candidate_tail(s):
+        b, c, cx, cy, cz = bc(s)
+        return _roots(b, c), cx, cy, cz
+
+    UNROLL = _SPH_UNROLL
+
+    def body_moving(i, carry):
+        s = i * UNROLL
+        for k in range(UNROLL):
+            carry = update(carry, candidate_moving(s + k))
+        return carry
+
+    def body_main(i, carry):
+        s = n_moving + i * UNROLL
+        for k in range(UNROLL):
+            carry = update(carry, candidate_main(s + k))
+        return carry
+
+    def body_tail(i, carry):
+        s = i * UNROLL
+        for k in range(UNROLL):
+            carry = update(carry, candidate_tail(s + k))
+        return carry
+
+    carry = (
+        (jnp.full(ox.shape, BIG, jnp.float32),)
+        + (zeros, zeros, zeros)
+        + ((jnp.full(ox.shape, 1.0, jnp.float32),) if carry_r else ())
+        + (zeros,)
+    )
+    if n_moving:
+        carry = jax.lax.fori_loop(0, n_moving // UNROLL, body_moving, carry)
+    if n_main:
+        carry = jax.lax.fori_loop(0, n_main // UNROLL, body_main, carry)
+
+    # head epilogue, written unconditionally (identical to _sphere_kernel)
+    best_t, bcx, bcy, bcz = carry[:4]
+    bm = carry[-1]
+    t_n = best_t if carry_r else jnp.minimum(best_t, 1e18)
+    px = ox + t_n * dx - bcx
+    py = oy + t_n * dy - bcy
+    pz = oz + t_n * dz - bcz
+    inv_r = (1.0 / carry[4]) if carry_r else jax.lax.rsqrt(
+        px * px + py * py + pz * pz
+    )
+    t_ref[:] = best_t
+    nx_ref[:] = px * inv_r
+    ny_ref[:] = py * inv_r
+    nz_ref[:] = pz * inv_r
+    mat_ref[:] = bm.astype(jnp.int32)
+
+    needy = _slab_interval(tail_box, (ox, oy, oz), (dx, dy, dz), t_min)
+
+    @pl.when(jnp.any(needy))
+    def _():
+        for row0, row1, box in bins:
+            cross = needy & _slab_interval(
+                box, (ox, oy, oz), (dx, dy, dz), t_min
+            )
+
+            @pl.when(jnp.any(cross))
+            def _(row0=row0, row1=row1):
+                zt = (jnp.full(ox.shape, BIG, jnp.float32),
+                      zeros, zeros, zeros)
+                t2, cx2, cy2, cz2 = jax.lax.fori_loop(
+                    row0 // UNROLL, row1 // UNROLL, body_tail, zt
+                )
+                prev_t = t_ref[:]
+                better = t2 < prev_t  # bin loop honors t_min already
+                t2n = t2 if carry_r else jnp.minimum(t2, 1e18)
+                px2 = ox + t2n * dx - cx2
+                py2 = oy + t2n * dy - cy2
+                pz2 = oz + t2n * dz - cz2
+                inv2 = (1.0 / tail_r) if carry_r else jax.lax.rsqrt(
+                    px2 * px2 + py2 * py2 + pz2 * pz2
+                )
+                t_ref[:] = jnp.where(better, t2, prev_t)
+                nx_ref[:] = jnp.where(better, px2 * inv2, nx_ref[:])
+                ny_ref[:] = jnp.where(better, py2 * inv2, ny_ref[:])
+                nz_ref[:] = jnp.where(better, pz2 * inv2, nz_ref[:])
+                mat_ref[:] = jnp.where(
+                    better, jnp.int32(int(tail_mat)), mat_ref[:]
+                )
+
+
+def sphere_skip_hit_attrs(
+    sph_skip_packed: jnp.ndarray,  # (N, 10) pack_skip_spheres table
+    o,  # 3-tuple of (R,) planes
+    d,
+    tm: jnp.ndarray,  # (R,)
+    *,
+    meta: tuple,  # (n_moving_rows, n_main_rows, bins) from pack_skip_spheres
+    tail_box: tuple,  # conservative whole-cluster AABB (pack_tail_spheres)
+    tail_r: float,
+    tail_mat: float,
+    pos_r: bool,
+    expand: bool,
+    needs_uv: bool,
+    interpret: bool = False,
+):
+    """sphere_hit_attrs_planar drop-in with block-level tail pruning
+    (same outputs; tail-cluster scenes only)."""
+    n_moving, n_main, bins = meta
+    R = o[0].shape[0]
+    rows, grid, ray_spec = _ray_grid(R)
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    comps = tuple(plane(c) for c in (*o, *d, tm))
+    f32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    t, nx, ny, nz, mat = pl.pallas_call(
+        functools.partial(
+            _sphere_skip_kernel, n_moving=n_moving, n_main=n_main,
+            bins=bins, tail_box=tail_box, tail_r=tail_r, tail_mat=tail_mat,
+            t_min=1e-3, expand=expand, pos_r=pos_r,
+        ),
+        grid=(grid,),
+        in_specs=[_sph_table_spec()] + [ray_spec] * 7,
+        out_specs=(ray_spec,) * 5,
+        out_shape=(f32, f32, f32, f32, i32),
+        interpret=interpret,
+    )(sph_skip_packed, *comps)
+    return _sphere_uv_epilogue(t, nx, ny, nz, mat, R, needs_uv)
+
+
+# ---------------------------------------------------------------------------
 # Quads
 # ---------------------------------------------------------------------------
 

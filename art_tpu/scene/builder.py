@@ -683,11 +683,38 @@ class _Compiler:
         sph_tail_packed, sph_tail_box = pack_tail_spheres(
             sph_packed, sph_n_moving_pad, sph_n_static, sph_n_tail
         )
+        # Needy-skip binned kernel table (pallas_kernels._sphere_skip_kernel):
+        # gate on the same tail-cluster class as the compacted pass.  Bin
+        # axis: world y when the cluster has real y extent — the wavefront
+        # pool is approximately pixel-sorted, so a ray block is a contiguous
+        # image span whose y footprint through the cluster is narrow for any
+        # y-up camera (every reference camera); falls back to the largest
+        # extent for y-degenerate clusters.
+        sph_skip_packed = jnp.zeros((1, 10), jnp.float32)
+        sph_skip_bins = None
+        from art_tpu.ops.pallas_kernels import SKIP_MIN_TAIL, _SPH_BINS
+
+        if sph_n_tail >= SKIP_MIN_TAIL and sph_tail_box:
+            from art_tpu.ops.pallas_kernels import pack_skip_spheres
+
+            ext = [
+                sph_tail_box[3] - sph_tail_box[0],
+                sph_tail_box[4] - sph_tail_box[1],
+                sph_tail_box[5] - sph_tail_box[2],
+            ]
+            axis = 1 if ext[1] >= 0.25 * max(ext) else int(np.argmax(ext))
+            nbins = max(1, min(_SPH_BINS, sph_n_tail // 32))
+            sph_skip_packed, sph_skip_bins = pack_skip_spheres(
+                sph_packed, sph_n_moving_pad, sph_n_static, sph_n_tail,
+                axis, nbins,
+            )
         tables = dataclasses.replace(
             tables,
             sph_packed=sph_packed,
             sph_tail_packed=sph_tail_packed,
             sph_tail_box=sph_tail_box,
+            sph_skip_packed=sph_skip_packed,
+            sph_skip_bins=sph_skip_bins,
             sph_n_moving_pad=sph_n_moving_pad,
             sph_n_static=sph_n_static,
             sph_n_tail=sph_n_tail,

@@ -141,6 +141,10 @@ class SceneTables:
     # tail-sphere pass (ops/compact_sphere.py): the uniform cluster runs
     # at K << R compacted lanes when few rays' slabs cross its AABB.
     sph_tail_packed: jnp.ndarray  # (T_pad, 10)
+    # Skip-kernel layout (pack_skip_spheres): [moving | main | tail bins],
+    # tail rows sorted + split into contiguous axis bins for the
+    # block-level pruned kernel (pallas_kernels._sphere_skip_kernel).
+    sph_skip_packed: jnp.ndarray  # (N, 10)
     quad_packed: jnp.ndarray  # (Q, 12)
     box_packed: jnp.ndarray  # (B, 12)
     # Cluster-culling copies (BVH-leaf order + per-cluster AABBs; the
@@ -228,6 +232,11 @@ class SceneTables:
     # computed once per distinct height.  None = use the looped kernel
     # (grid too large to unroll).
     box_grid_cells: tuple | None = _static()
+    # Compile-time bin metadata for the needy-skip sphere kernel
+    # (pallas_kernels._sphere_skip_kernel): (n_moving_rows, n_main_rows,
+    # ((row0, row1, box6), ...)) per pack_skip_spheres.  None = scene has
+    # no qualifying tail cluster.
+    sph_skip_bins: tuple | None = _static()
     # Compile-time sphere table for the fully-static sphere kernel
     # (pallas_kernels._sphere_static_kernel): (moving, main, tail) per
     # static_sphere_cells.  None = scene too large to unroll (> 2048
@@ -295,6 +304,7 @@ def empty_tables() -> dict:
         atlas=ImageAtlas.empty(),
         sph_packed=_z((1, 10)),
         sph_tail_packed=_z((1, 10)),
+        sph_skip_packed=_z((1, 10)),
         quad_packed=_z((1, 12)),
         box_packed=_z((1, 12)),
         sph_cl_packed=_z((1, 9)),
@@ -339,6 +349,7 @@ def empty_tables() -> dict:
         box_grid_y0=0.0,
         box_grid_mat=-1.0,
         box_grid_cells=None,
+        sph_skip_bins=None,
         sph_static_cells=None,
         sp_consts=None,
     )

@@ -83,6 +83,23 @@ def test_sphere_static_lowers(scene, bouncing, final):
     )
 
 
+def test_sphere_skip_lowers(final):
+    """Needy-skip binned kernel: jnp.any reductions + nested pl.when
+    regions + per-bin fori_loops must all lower (both quadratic forms)."""
+    assert final.sph_skip_bins is not None
+    o, d, tm = _rays()
+    for expand in (bool(final.sph_expand), False):
+        _lower_tpu(
+            lambda o, d, tm, e=expand: pk.sphere_skip_hit_attrs(
+                final.sph_skip_packed, o, d, tm,
+                meta=final.sph_skip_bins, tail_box=final.sph_tail_box,
+                tail_r=final.sph_tail_r, tail_mat=final.sph_tail_mat,
+                pos_r=final.sph_pos_r, expand=e, needs_uv=True,
+            ),
+            o, d, tm,
+        )
+
+
 def test_sphere_cluster_lowers(bouncing):
     assert bouncing.n_sphere_clusters > 0
     o, d, tm = _rays()
