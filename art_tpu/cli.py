@@ -76,15 +76,6 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
-    if args.sharded and args.checkpoint:
-        print(
-            "error: --checkpoint is not supported with --sharded "
-            "(the sharded driver keeps no resumable state yet); "
-            "drop one of the flags",
-            file=sys.stderr,
-        )
-        return 2
-
     from art_tpu.models import SCENES, build_scene, scene_defaults
     from art_tpu.render.renderer import RenderConfig, render_scene
     from art_tpu.utils.ppm import write_ppm
@@ -121,7 +112,9 @@ def main(argv=None) -> int:
     if args.sharded:
         from art_tpu.parallel import render_scene_sharded
 
-        fb, stats = render_scene_sharded(scene, cfg)
+        fb, stats = render_scene_sharded(
+            scene, cfg, checkpoint_path=args.checkpoint
+        )
     else:
         fb, stats = render_scene(
             scene, cfg, verbose=args.verbose, checkpoint_path=args.checkpoint

@@ -214,6 +214,105 @@ def eval_texture_p(
     return out
 
 
+def eval_special_p(
+    tables: SceneTables,
+    specials: tuple,  # (mat_id, kind, params...) rows — builder._shade_consts
+    mat: jnp.ndarray,  # (R,) int32 winner material id
+    u: jnp.ndarray,  # (R,)
+    v: jnp.ndarray,  # (R,)
+    p,  # 3-tuple of (R,) planes
+):
+    """Leaf colors for the baked shade kernel's SPECIAL materials only.
+
+    The baked-consts kernel (ops/shade_kernel.py) resolves solid and
+    checker textures from immediates; the leaves that need per-lane
+    memory or a dedicated kernel — image texels (XLA serial gather /
+    compacted MXU fetch) and turbulence (ops/perlin_kernel) — are
+    evaluated here on exactly the same code paths the staged
+    eval_texture_p uses, but keyed by compile-time per-material params
+    instead of fetched texture rows (no take_rows, no wrapper-resolution
+    refetches).  Non-special lanes return 0 (the kernel masks them).
+    """
+    px, py, pz = p
+    zero = jnp.zeros_like(u)
+    out = (zero, zero, zero)
+
+    def mask_of(mids):
+        m = mat == mids[0]
+        for i in mids[1:]:
+            m = m | (mat == i)
+        return m
+
+    imgs = [s for s in specials if s[1] == "image"]
+    if imgs:
+        needy = mask_of([s[0] for s in imgs])
+        img_id = jnp.zeros_like(mat)
+        uu, vv = u, v
+        for mid, _, gid, du, dv in imgs:
+            m = mat == mid
+            img_id = jnp.where(m, gid, img_id)
+            if du or dv:  # folded uv_offset wrapper (src/texture.cuh:151-164)
+                uo = u + du
+                uo = uo - jnp.floor(uo)
+                vo = jnp.clip(v + dv, 0.0, 1.0)
+                uu = jnp.where(m, uo, uu)
+                vv = jnp.where(m, vo, vv)
+        if "fake_image" in _DBG:  # perf-debug: dependency-preserving stub
+            s = img_id.astype(jnp.float32) + uu + vv
+            img_val = jnp.stack([s, s * 0.5, s * 0.25], axis=-1)
+        else:
+            from art_tpu.core.platform import tpu_paths
+
+            use_compact = (
+                not _NO_COMPACT_FETCH
+                and tpu_paths()
+                and u.ndim == 1
+                and u.shape[0] % 8192 == 0
+            )
+            img_val = tables.atlas.sample(
+                img_id, uu, vv, needy=needy if use_compact else None
+            )
+        out = p_where(
+            needy, (img_val[:, 0], img_val[:, 1], img_val[:, 2]), out
+        )
+
+    for s in specials:
+        if s[1] == "noise":
+            mid, _, scale = s
+            if "fake_turb" in _DBG:
+                tb = 0.1 * (px + py + pz)
+            else:
+                tb = _turb(px, py, pz, _TURB_MAX)
+            t = 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * tb))
+            out = p_where(mat == mid, (t, t, t), out)
+        elif s[1] == "noodle":
+            mid, _, k, amp, f, oct_, dx, dy, dz, rgb, rgb2 = s
+            un = px * dx + py * dy + pz * dz
+            if "fake_turb" in _DBG:
+                wig = 0.1 * (px + py + pz) * f + 1e-8 * oct_
+            else:
+                wig = _turb(px * f, py * f, pz * f, min(oct_, _TURB_MAX))
+            stripes = jnp.abs(jnp.sin(k * un + amp * wig))
+            t = _smoothstep(0.75, 0.98, stripes)
+            col = tuple(
+                (1.0 - t) * rgb2[c] + t * rgb[c] for c in range(3)
+            )
+            out = p_where(mat == mid, col, out)
+        elif s[1] == "felt":
+            mid, _, m_scale, m_amt, f_scale, f_amt, rgb = s
+            m = perlin.noise_p(px * m_scale, py * m_scale, pz * m_scale)
+            phase = px * f_scale + 2.0 * _turb(
+                px * 0.5, py * 0.5, pz * 0.5, 2
+            )
+            fibers = 0.5 * (1.0 + jnp.sin(phase))
+            gain = 1.0 + m_amt * (m - 0.5) + f_amt * (fibers - 0.5)
+            gain = jnp.clip(gain, 0.7, 1.2)
+            out = p_where(
+                mat == mid, tuple(rgb[c] * gain for c in range(3)), out
+            )
+    return out
+
+
 def eval_texture(
     tables: SceneTables,
     tex_id: jnp.ndarray,

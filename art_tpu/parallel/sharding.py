@@ -105,8 +105,26 @@ def sharded_render_step(
     return fn(tables, cam, pix, key, background)
 
 
-def render_scene_sharded(scene, cfg: RenderConfig, mesh: Mesh | None = None):
-    """Multi-device render_scene; same output contract as the single-chip path."""
+def render_scene_sharded(
+    scene,
+    cfg: RenderConfig,
+    mesh: Mesh | None = None,
+    checkpoint_path: str | None = None,
+):
+    """Multi-device render_scene; same output contract as the single-chip path.
+
+    ``checkpoint_path``: optional .npz path with the same per-dispatch
+    save/resume semantics as the single-chip driver (render/renderer.py):
+    the raw radiance accumulator is written after every (tile, chunk)
+    dispatch (write-then-rename, so a mid-save kill never leaves a
+    truncated archive) and a matching render — same scene digest, config
+    AND mesh shape — resumes from the last completed dispatch.  The mesh
+    shape is part of the signature because it changes the dispatch
+    decomposition and the per-shard RNG streams."""
+    import os
+    import time as _time
+    import zipfile
+
     if mesh is None:
         mesh = make_mesh()
     n_px = mesh.shape["px"]
@@ -140,9 +158,8 @@ def render_scene_sharded(scene, cfg: RenderConfig, mesh: Mesh | None = None):
     master = jax.random.PRNGKey(cfg.seed)
     fb = np.zeros((n_pixels, 3), np.float32)
     total_rays = 0.0
-    import time as _time
 
-    from art_tpu.render.renderer import sample_counts
+    from art_tpu.render.renderer import _scene_digest, sample_counts
 
     per_dev_pixels = tile_pixels // n_px
     counts = (
@@ -151,22 +168,60 @@ def render_scene_sharded(scene, cfg: RenderConfig, mesh: Mesh | None = None):
         * n_chunks
     )
 
+    # ---- checkpoint/resume bookkeeping (mirrors render_scene) ----
+    ckpt_sig = np.array([
+        cfg.nx, cfg.ny, cfg.spp, cfg.max_depth, cfg.seed,
+        tile_pixels, spp_chunk, n_slots, n_px, n_spp,
+    ])
+    ckpt_scene = f"{getattr(scene, 'name', 'scene')}:{_scene_digest(scene)}"
+    done_dispatches = -1
+    if checkpoint_path:
+        if not checkpoint_path.endswith(".npz"):
+            checkpoint_path += ".npz"
+        try:
+            ck = np.load(checkpoint_path)
+            if (
+                np.array_equal(ck["sig"], ckpt_sig)
+                and str(ck["scene"]) == ckpt_scene
+            ):
+                fb = ck["fb"]
+                done_dispatches = int(ck["done"])
+                total_rays = float(ck["rays"])
+        except (OSError, KeyError, ValueError, EOFError,
+                zipfile.BadZipFile):
+            pass
+
+    def save_ckpt(done):
+        tmp = checkpoint_path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(
+                fh, sig=ckpt_sig, scene=ckpt_scene, fb=fb, done=done,
+                rays=total_rays,
+            )
+        os.replace(tmp, checkpoint_path)
+
     start = _time.perf_counter()
     for tile in range(n_tiles):
         lo = tile * tile_pixels
-        ids = np.arange(lo, lo + tile_pixels, dtype=np.int32)
-        acc = jnp.zeros((tile_pixels, 3), jnp.float32)
-        for chunk in range(n_chunks):
-            k = artrng.fold(master, tile, chunk)
-            rad, rays = step(tables, scene.camera, jnp.asarray(ids), k, background)
-            acc = acc + rad
-            total_rays += float(rays)
         hi = min(lo + tile_pixels, n_pixels)
-        fb[lo:hi] += (np.asarray(acc) / counts[:, None])[: hi - lo]
+        ids = np.arange(lo, lo + tile_pixels, dtype=np.int32)
+        for chunk in range(n_chunks):
+            dispatch = tile * n_chunks + chunk
+            if dispatch <= done_dispatches:
+                continue
+            k = artrng.fold(master, tile, chunk)
+            rad, rays = step(
+                tables, scene.camera, jnp.asarray(ids), k, background
+            )
+            # fb holds raw radiance sums until the final normalization
+            fb[lo:hi] += np.asarray(rad)[: hi - lo]
+            total_rays += float(rays)
+            if checkpoint_path:
+                save_ckpt(dispatch)
     elapsed = _time.perf_counter() - start
 
     actual_spp = n_chunks * spp_chunk * n_spp
-    fb = apply_gamma(fb, cfg.gamma).reshape(cfg.ny, cfg.nx, 3)
+    fb = apply_gamma(fb / counts[0], cfg.gamma).reshape(cfg.ny, cfg.nx, 3)
     stats = {
         "seconds": elapsed,
         "rays": total_rays,

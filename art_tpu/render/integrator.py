@@ -128,6 +128,15 @@ _FORCE_SP = bool(__import__("os").environ.get("ART_TPU_SP"))
 # final/cornell_smoke; docs/logs/queue_r3e.log); ART_TPU_NO_SHADE_KERNEL=1
 # reverts to the staged jnp bounce tail.
 _SHADE_K = not __import__("os").environ.get("ART_TPU_NO_SHADE_KERNEL")
+# Baked-consts shade kernel (tables.shade_consts): material/texture
+# parameters become compile-time immediates keyed by the material-id
+# plane — the per-iteration one-hot mat/tex row fetches, the texture
+# wrapper-resolution refetches and 9 of the kernel's input planes
+# disappear; only special leaf values (image texels via the compacted
+# fetch, turbulence via the perlin kernel) are still computed outside
+# (ops/texture_eval.eval_special_p).  ART_TPU_NO_BAKED_SHADE=1 reverts
+# to the plane-fed fetch path.
+_BAKED_SHADE = not __import__("os").environ.get("ART_TPU_NO_BAKED_SHADE")
 
 
 def _flush_mode(R: int) -> str:
@@ -622,13 +631,11 @@ def render_wavefront(
             if use_shade_kernel:
                 # ---- bounce tail in ONE Pallas launch ----
                 # (ops/shade_kernel.py: scatter + integrate + flush; the
-                # intersection and parameter fetches stay staged)
+                # intersection stays staged; parameter fetches stay
+                # staged only when the scene has no baked shade_consts)
                 surf = closest_surface_p(tables, o, d, tm, T_MIN)
                 rec = apply_media_p(
                     tables, o, d, T_MIN, surf, u_media, time=tm
-                )
-                mtype_f, fuzz_pl, refidx_pl, malb_pl, texv_pl = (
-                    shade_params_p(tables, rec)
                 )
                 state_pl = dict(
                     ox=o[0], oy=o[1], oz=o[2],
@@ -638,15 +645,37 @@ def render_wavefront(
                     bounce=bounce, pix=pix,
                     act=active.astype(jnp.int32),
                 )
-                rec_pl = dict(
+                shade_consts = (
+                    tables.shade_consts if _BAKED_SHADE else None
+                )
+                rec_common = dict(
                     px=rec.p[0], py=rec.p[1], pz=rec.p[2],
                     nx=rec.normal[0], ny=rec.normal[1], nz=rec.normal[2],
-                    mtype=mtype_f, fuzz=fuzz_pl, refidx=refidx_pl,
-                    ma0=malb_pl[0], ma1=malb_pl[1], ma2=malb_pl[2],
-                    tx0=texv_pl[0], tx1=texv_pl[1], tx2=texv_pl[2],
                     ub0=u_ball[0], ub1=u_ball[1], ub2=u_ball[2],
                     uch=u_choice,
                 )
+                if shade_consts is not None:
+                    rec_pl = dict(
+                        rec_common, mat=rec.mat.astype(jnp.float32)
+                    )
+                    if shade_consts[1]:
+                        from art_tpu.ops.texture_eval import eval_special_p
+
+                        sp = eval_special_p(
+                            tables, shade_consts[1], rec.mat,
+                            rec.u, rec.v, rec.p,
+                        )
+                        rec_pl.update(sp0=sp[0], sp1=sp[1], sp2=sp[2])
+                else:
+                    mtype_f, fuzz_pl, refidx_pl, malb_pl, texv_pl = (
+                        shade_params_p(tables, rec)
+                    )
+                    rec_pl = dict(
+                        rec_common,
+                        mtype=mtype_f, fuzz=fuzz_pl, refidx=refidx_pl,
+                        ma0=malb_pl[0], ma1=malb_pl[1], ma2=malb_pl[2],
+                        tx0=texv_pl[0], tx1=texv_pl[1], tx2=texv_pl[2],
+                    )
                 # Window base from the min LIVE pixel: every ray that can
                 # die this iteration is active now, so min(active pix)
                 # lower-bounds every died pixel (same n_hi_win band
@@ -662,6 +691,7 @@ def render_wavefront(
                     new, died_k, window2 = shade_flush(
                         state_pl, rec.hit, rec_pl, background, window, b,
                         max_depth=max_depth, gradient=gradient_bg,
+                        consts=shade_consts,
                     )
                     fbn = jax.lax.dynamic_update_slice(
                         fb0, window2, (b, 0)

@@ -799,7 +799,95 @@ class _Compiler:
                 n_sph_bvh_nodes=tree.n_nodes,
             )
         tables = dataclasses.replace(tables, sp_consts=self._sp_consts(tables))
+        tables = dataclasses.replace(
+            tables, shade_consts=self._shade_consts()
+        )
         return tables
+
+    def _shade_consts(self):
+        """Baked material/texture constants for the generic fused shade
+        kernel (ops/shade_kernel.py consts mode).
+
+        Unlike sp_consts (whole-scene megakernel, tiny static scenes
+        only) this gates on the MATERIAL table alone: <= 24 materials,
+        each with a texture resolvable at compile time to solid,
+        checker-of-solids, or one special leaf (image / noise / noodle /
+        felt, optionally under a uv_offset wrapper whose offsets fold
+        into the outside fetch).  The kernel then derives mtype / fuzz /
+        ref_idx / metal albedo / texture value from immediates keyed by
+        the material-id plane — dropping the per-iteration one-hot
+        mat/tex row fetches and wrapper-resolution refetches
+        (ops/gather.take_rows + ops/texture_eval phase 1) from the
+        staged path.  bouncing_spheres' ~490 distinct albedos fail the
+        count gate and keep the plane-fed path.
+
+        Returns (mats, specials) or None; mats[i] =
+        (mtype, fuzz, ref_idx, metal_rgb3, tex_kind, tex_data) with
+        tex_kind 0 solid (rgb3), 1 checker (inv_scale, even3, odd3),
+        2 special; specials[j] = (mat_id, kind, params...) consumed by
+        ops/texture_eval.eval_special_p."""
+        if not self.mats or len(self.mats) > 24:
+            return None
+
+        def f32(v):
+            return float(np.float32(v))
+
+        mats, specials = [], []
+        for mid, m in enumerate(self.mats):
+            ty = int(m["type"])
+            tex_kind, tex_data = 0, (0.0, 0.0, 0.0)
+            if ty in (0, 3, 4):  # texture-backed: lambertian/light/iso
+                tx = self.texs[int(m["tex"])]
+                du = dv = 0.0
+                if tx["type"] == int(TexType.UV_OFFSET):
+                    du, dv = f32(tx["params"][0]), f32(tx["params"][1])
+                    tx = self.texs[int(tx["child"][0])]
+                    if tx["type"] != int(TexType.IMAGE):
+                        return None  # uv wrapper over non-image: no scene
+                t = int(tx["type"])
+                if t == int(TexType.SOLID):
+                    tex_data = tuple(f32(v) for v in tx["rgb"])
+                elif t == int(TexType.CHECKER):
+                    even = self.texs[int(tx["child"][0])]
+                    odd = self.texs[int(tx["child"][1])]
+                    if (even["type"] != int(TexType.SOLID)
+                            or odd["type"] != int(TexType.SOLID)):
+                        return None
+                    tex_kind = 1
+                    tex_data = (
+                        f32(tx["params"][0]),
+                        tuple(f32(v) for v in even["rgb"]),
+                        tuple(f32(v) for v in odd["rgb"]),
+                    )
+                elif t == int(TexType.IMAGE):
+                    tex_kind = 2
+                    specials.append((mid, "image", int(tx["img"]), du, dv))
+                elif t == int(TexType.NOISE):
+                    tex_kind = 2
+                    specials.append((mid, "noise", f32(tx["params"][0])))
+                elif t == int(TexType.NOODLE):
+                    p = tx["params"]
+                    tex_kind = 2
+                    specials.append((
+                        mid, "noodle", f32(p[0]), f32(p[1]), f32(p[2]),
+                        int(p[3]), f32(p[4]), f32(p[5]), f32(p[6]),
+                        tuple(f32(v) for v in tx["rgb"]),
+                        tuple(f32(v) for v in tx["rgb2"]),
+                    ))
+                elif t == int(TexType.FELT):
+                    p = tx["params"]
+                    tex_kind = 2
+                    specials.append((
+                        mid, "felt", f32(p[0]), f32(p[1]), f32(p[2]),
+                        f32(p[3]), tuple(f32(v) for v in tx["rgb"]),
+                    ))
+                else:
+                    return None
+            mats.append((
+                ty, f32(m["fuzz"]), f32(m["ref_idx"]),
+                tuple(f32(v) for v in m["rgb"]), tex_kind, tex_data,
+            ))
+        return (tuple(mats), tuple(specials))
 
     def _sp_consts(self, tables):
         """Short-path megakernel gate + baked constants (ops/sp_kernel.py).

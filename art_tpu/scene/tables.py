@@ -247,6 +247,10 @@ class SceneTables:
     # module's docstring.  None = scene fails the SP gate (boxes, media,
     # moving spheres, > 16 prims, or non-solid/checker textures).
     sp_consts: tuple | None = _static()
+    # Baked material/texture constants for the generic fused shade
+    # kernel (scene/builder._shade_consts): (mats, specials) or None
+    # (> 24 materials or an unresolvable texture tree).
+    shade_consts: tuple | None = _static()
 
 
 def _z(shape, dtype=jnp.float32):
@@ -352,4 +356,5 @@ def empty_tables() -> dict:
         sph_skip_bins=None,
         sph_static_cells=None,
         sp_consts=None,
+        shade_consts=None,
     )

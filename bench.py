@@ -43,6 +43,10 @@ TIME_BUDGET_S = 150.0
 SWEEP = [
     ("cornell_smoke", 600, 600, 400, 60.0),
     ("final_scene", 800, 800, 500, 90.0),
+    # Short-path megakernel scene (ops/sp_kernel.py): quads takes the SP
+    # path at defaults, so a regression in that kernel or its builder
+    # gate moves a driver-captured artifact (VERDICT r3 Weak #5).
+    ("quads", 1200, 600, 500, 45.0),
 ]
 
 

@@ -34,24 +34,29 @@ run() { # run NAME NX NY SPP [ENV=V ...]
   say "rc=$?"
 }
 
+# ART_TPU_NO_BAKED_SHADE=1 pins the (independent) baked-shade variable
+# introduced the same round, so these rows vary ONLY the sphere path;
+# queue r4b A/Bs the baked shade kernel separately.
+B=ART_TPU_NO_BAKED_SHADE=1
+
 say "=== skip-kernel A/B: final_scene ==="
-run final_scene 800 800 500 X=1                                  # NEW default: compact + skip fallback
-run final_scene 800 800 500 ART_TPU_NO_SPH_SKIP=1                # r3 default: compact + dense fallback
-run final_scene 800 800 500 ART_TPU_NO_COMPACT_SPH=1             # skip only (no compaction)
-run final_scene 800 800 500 ART_TPU_COMPACT_SKIP=1               # compact tail pass also binned
-run final_scene 800 800 500 ART_TPU_NO_COMPACT_SPH=1 ART_TPU_NO_SPH_SKIP=1  # plain dense control
+run final_scene 800 800 500 $B                                   # NEW default: compact + skip fallback
+run final_scene 800 800 500 $B ART_TPU_NO_SPH_SKIP=1             # r3 default: compact + dense fallback
+run final_scene 800 800 500 $B ART_TPU_NO_COMPACT_SPH=1          # skip only (no compaction)
+run final_scene 800 800 500 $B ART_TPU_COMPACT_SKIP=1            # compact tail pass also binned
+run final_scene 800 800 500 $B ART_TPU_NO_COMPACT_SPH=1 ART_TPU_NO_SPH_SKIP=1  # plain dense control
 
 say "=== bin-count sweep (skip only, final_scene) ==="
-run final_scene 800 800 500 ART_TPU_NO_COMPACT_SPH=1 ART_TPU_SPH_BINS=1
-run final_scene 800 800 500 ART_TPU_NO_COMPACT_SPH=1 ART_TPU_SPH_BINS=8
-run final_scene 800 800 500 ART_TPU_NO_COMPACT_SPH=1 ART_TPU_SPH_BINS=32
+run final_scene 800 800 500 $B ART_TPU_NO_COMPACT_SPH=1 ART_TPU_SPH_BINS=1
+run final_scene 800 800 500 $B ART_TPU_NO_COMPACT_SPH=1 ART_TPU_SPH_BINS=8
+run final_scene 800 800 500 $B ART_TPU_NO_COMPACT_SPH=1 ART_TPU_SPH_BINS=32
 
 say "=== original_scene ==="
-run original_scene 800 800 500 X=1
-run original_scene 800 800 500 ART_TPU_NO_SPH_SKIP=1
-run original_scene 800 800 500 ART_TPU_NO_COMPACT_SPH=1
+run original_scene 800 800 500 $B
+run original_scene 800 800 500 $B ART_TPU_NO_SPH_SKIP=1
+run original_scene 800 800 500 $B ART_TPU_NO_COMPACT_SPH=1
 
 say "=== guard: headline scene unaffected ==="
-run bouncing_spheres 1200 800 500 X=1
+run bouncing_spheres 1200 800 500 $B
 
 say "ALL DONE"

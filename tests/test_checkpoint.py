@@ -79,3 +79,44 @@ def test_corrupt_checkpoint_falls_back_to_fresh(tmp_path):
     with_ck, _ = render_scene(scene, cfg, checkpoint_path=str(ckpt))
     without, _ = render_scene(scene, cfg)
     np.testing.assert_allclose(with_ck, without, rtol=1e-6)
+
+
+def test_sharded_resume_matches_uninterrupted(tmp_path):
+    """Sharded driver checkpoint/resume on the 8-device virtual mesh
+    (VERDICT r3 Missing #2): rewinding the checkpoint to scratch and
+    resuming must reproduce the uninterrupted sharded image exactly."""
+    from art_tpu.parallel import make_mesh, render_scene_sharded
+
+    scene = build_scene("three_spheres", 32, 16)
+    mesh = make_mesh((4, 2))
+    cfg = RenderConfig(nx=32, ny=16, spp=8, max_depth=6, queue_budget=128)
+    full, _ = render_scene_sharded(scene, cfg, mesh)
+
+    ckpt = str(tmp_path / "ck_sharded.npz")
+    render_scene_sharded(scene, cfg, mesh, checkpoint_path=ckpt)
+    ck = np.load(ckpt)
+    assert int(ck["done"]) >= 1, "need multiple dispatches for this test"
+    # rewind to nothing-done: resume must re-render every dispatch
+    np.savez(ckpt, sig=ck["sig"], scene=ck["scene"], fb=ck["fb"] * 0.0,
+             done=-1, rays=0.0)
+    resumed, _ = render_scene_sharded(scene, cfg, mesh, checkpoint_path=ckpt)
+    np.testing.assert_allclose(resumed, full, rtol=1e-5, atol=1e-6)
+    # and a completed checkpoint resumes as a no-op with the same image
+    noop, st = render_scene_sharded(scene, cfg, mesh, checkpoint_path=ckpt)
+    np.testing.assert_allclose(noop, full, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_checkpoint_mesh_shape_in_signature(tmp_path):
+    """A checkpoint written on one mesh decomposition must not resume on
+    another (per-shard RNG streams differ)."""
+    from art_tpu.parallel import make_mesh, render_scene_sharded
+
+    scene = build_scene("three_spheres", 32, 16)
+    cfg = RenderConfig(nx=32, ny=16, spp=8, max_depth=6)
+    ckpt = str(tmp_path / "ck_mesh.npz")
+    render_scene_sharded(scene, cfg, make_mesh((4, 2)), checkpoint_path=ckpt)
+    with_ck, _ = render_scene_sharded(
+        scene, cfg, make_mesh((8, 1)), checkpoint_path=ckpt
+    )
+    without, _ = render_scene_sharded(scene, cfg, make_mesh((8, 1)))
+    np.testing.assert_allclose(with_ck, without, rtol=1e-6)

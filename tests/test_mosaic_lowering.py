@@ -463,6 +463,38 @@ def test_shade_flush_kernel_lowers():
         )
 
 
+def test_shade_flush_baked_lowers():
+    """Baked-consts shade kernel mode: the in-kernel material blends,
+    checker parity (floor + int cast + bitwise and) and sp-plane routing
+    must lower for the gate's texture-kind span (solids+checker /
+    image / image+noise+metal+dielectric)."""
+    from art_tpu.ops.shade_kernel import (
+        _STATE_F,
+        _STATE_I,
+        rec_names,
+        shade_flush,
+    )
+
+    z = jnp.zeros((RB,), jnp.float32)
+    zi = jnp.zeros((RB,), jnp.int32)
+    hit = jnp.zeros((RB,), bool)
+    bg = jnp.zeros((3,), jnp.float32)
+    window = jnp.zeros((16, 384), jnp.float32)
+    for scene_name in ("final_scene", "earth", "cornell_smoke"):
+        consts = build_scene(scene_name, 64, 64).tables.shade_consts
+        assert consts is not None
+        state = {n: z for n in _STATE_F}
+        state.update({n: zi for n in _STATE_I})
+        rec = {n: z for n in rec_names(consts)}
+        _lower_tpu(
+            lambda s, h, r, b, w, c=consts: shade_flush(
+                s, h, r, b, w, jnp.int32(0),
+                max_depth=50, gradient=False, consts=c,
+            ),
+            state, hit, rec, bg, window,
+        )
+
+
 @pytest.mark.parametrize("scene_name", ["final_scene", "cornell_smoke"])
 def test_full_wavefront_step_lowers_shade_kernel(scene_name, monkeypatch):
     """The full render step with the fused shade+flush kernel engaged
