@@ -67,6 +67,11 @@ from art_tpu.ops.refill_kernel import (
 
 BIG = 1e30
 T_MIN = 1e-3
+# A/B switch: force the dielectric refract/Schlick chain back to the
+# dense always-evaluated form (round-3 behavior, measured 322 vs 351
+# staged Mrays/s on three_spheres) instead of the block-skipped
+# @pl.when fix-up that is now the default for dielectric scenes.
+_SP_DENSE_DIEL = bool(__import__("os").environ.get("ART_TPU_SP_DENSE_DIEL"))
 
 
 def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
@@ -191,23 +196,35 @@ def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
     else:
         turb = None
 
-    # ---- per-material parameter resolve (immediates by winner id) ----
-    mtype = zeros
+    # ---- per-material parameter resolve (immediates by winner id).
+    # Per-family masks accumulate directly (python False when a family
+    # is absent), so unused scatter chains below compile to NOTHING —
+    # the always-built mtype plane hid that from XLA (it cannot prove a
+    # traced compare never fires).  quads/checkered have no metal or
+    # dielectric: their SP programs drop ~60 of ~100 shading ops. ----
     fuzz = zeros
     ref_idx = ones
     texv = (zeros, zeros, zeros)  # lambertian albedo / light emission
     malb = (zeros, zeros, zeros)  # metal albedo
+    is_metal = is_diel = is_light = False
+
+    def _or(m, sel):
+        return sel if m is False else (m | sel)
+
     for j, (ty, fz, ri, m_r, m_g, m_b, tk, s_r, s_g, s_b,
             isc, o_r, o_g, o_b) in enumerate(mats):
         sel = best_m == float(j)
-        mtype = jnp.where(sel, float(ty), mtype)
         if ty == 1:  # metal
+            is_metal = _or(is_metal, sel)
             fuzz = jnp.where(sel, fz, fuzz)
             malb = tuple(jnp.where(sel, v, malb[c])
                          for c, v in enumerate((m_r, m_g, m_b)))
         elif ty == 2:  # dielectric
+            is_diel = _or(is_diel, sel)
             ref_idx = jnp.where(sel, ri, ref_idx)
         else:  # lambertian / diffuse_light: texture-backed
+            if ty == 3:
+                is_light = _or(is_light, sel)
             if tk == 1:  # checker (src/texture.cuh:35-42)
                 xi = jnp.floor(isc * p[0]).astype(jnp.int32)
                 yi = jnp.floor(isc * p[1]).astype(jnp.int32)
@@ -223,15 +240,15 @@ def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
                 tv = (s_r, s_g, s_b)
             texv = tuple(jnp.where(sel, tv[c], texv[c]) for c in range(3))
 
-    is_metal = mtype == 1.0
-    is_diel = mtype == 2.0
-    is_light = mtype == 3.0
+    def sel3(mask, a_val, b_val):
+        return b_val if mask is False else jnp.where(mask, a_val, b_val)
 
     # ---- emission (src/material.cuh:169-172) ----
     live_hit = act & hit
-    emit_mask = live_hit & is_light
-    rad = tuple(rad[c] + jnp.where(emit_mask, thr[c] * texv[c], 0.0)
-                for c in range(3))
+    if is_light is not False:
+        emit_mask = live_hit & is_light
+        rad = tuple(rad[c] + jnp.where(emit_mask, thr[c] * texv[c], 0.0)
+                    for c in range(3))
 
     # ---- shared in-ball sample (ops/shade.py:_ball_from_uniforms_p;
     # cbrt has no Mosaic lowering -> exp(log/3), see module docstring) ----
@@ -245,56 +262,88 @@ def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
     # ---- lambertian (src/material.cuh:75-87) ----
     direction = (n[0] + ball[0], n[1] + ball[1], n[2] + ball[2])
 
-    # ---- metal (src/material.cuh:90-110) ----
     ud = (d[0] * inv_dlen, d[1] * inv_dlen, d[2] * inv_dlen)
-    udn = ud[0] * n[0] + ud[1] * n[1] + ud[2] * n[2]
-    refl = (ud[0] - 2.0 * udn * n[0], ud[1] - 2.0 * udn * n[1],
-            ud[2] - 2.0 * udn * n[2])
-    mdir = (refl[0] + fuzz * ball[0], refl[1] + fuzz * ball[1],
-            refl[2] + fuzz * ball[2])
-    metal_alive = (mdir[0] * n[0] + mdir[1] * n[1] + mdir[2] * n[2]) > 0.0
 
-    # ---- dielectric (src/material.cuh:113-159, book-1 form) ----
-    d_dot_n = d[0] * n[0] + d[1] * n[1] + d[2] * n[2]
-    inside = d_dot_n > 0.0
-    own = (jnp.where(inside, -n[0], n[0]), jnp.where(inside, -n[1], n[1]),
-           jnp.where(inside, -n[2], n[2]))
-    nio = jnp.where(inside, ref_idx, 1.0 / ref_idx)
-    cos_raw = d_dot_n * inv_dlen
-    cos_inside = jnp.sqrt(jnp.maximum(
-        0.0, 1.0 - ref_idx * ref_idx * (1.0 - cos_raw * cos_raw)))
-    cosine = jnp.where(inside, cos_inside, -cos_raw)
-    dt = ud[0] * own[0] + ud[1] * own[1] + ud[2] * own[2]
-    disc = 1.0 - nio * nio * (1.0 - dt * dt)
-    can_refract = disc > 0.0
-    root = jnp.sqrt(jnp.maximum(disc, 0.0))
-    refr = (nio * (ud[0] - own[0] * dt) - own[0] * root,
-            nio * (ud[1] - own[1] * dt) - own[1] * root,
-            nio * (ud[2] - own[2] * dt) - own[2] * root)
-    r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
-    r0 = r0 * r0
-    x = 1.0 - cosine
-    x2 = x * x
-    schl = r0 + (1.0 - r0) * (x2 * x2 * x)
-    reflect_prob = jnp.where(can_refract, schl, 1.0)
-    diel_reflect = u_choice < reflect_prob
-    ddn2 = 2.0 * d_dot_n
-    drefl = (d[0] - ddn2 * n[0], d[1] - ddn2 * n[1], d[2] - ddn2 * n[2])
-    ddir = tuple(jnp.where(diel_reflect, drefl[c], refr[c])
-                 for c in range(3))
+    # ---- metal (src/material.cuh:90-110) ----
+    metal_alive = True
+    if is_metal is not False:
+        udn = ud[0] * n[0] + ud[1] * n[1] + ud[2] * n[2]
+        refl = (ud[0] - 2.0 * udn * n[0], ud[1] - 2.0 * udn * n[1],
+                ud[2] - 2.0 * udn * n[2])
+        mdir = (refl[0] + fuzz * ball[0], refl[1] + fuzz * ball[1],
+                refl[2] + fuzz * ball[2])
+        metal_alive = (
+            mdir[0] * n[0] + mdir[1] * n[1] + mdir[2] * n[2]
+        ) > 0.0
+        direction = tuple(jnp.where(is_metal, mdir[c], direction[c])
+                          for c in range(3))
+
+    def _diel_dir():
+        # ---- dielectric (src/material.cuh:113-159, book-1 form) ----
+        d_dot_n = d[0] * n[0] + d[1] * n[1] + d[2] * n[2]
+        inside = d_dot_n > 0.0
+        own = (jnp.where(inside, -n[0], n[0]),
+               jnp.where(inside, -n[1], n[1]),
+               jnp.where(inside, -n[2], n[2]))
+        nio = jnp.where(inside, ref_idx, 1.0 / ref_idx)
+        cos_raw = d_dot_n * inv_dlen
+        cos_inside = jnp.sqrt(jnp.maximum(
+            0.0, 1.0 - ref_idx * ref_idx * (1.0 - cos_raw * cos_raw)))
+        cosine = jnp.where(inside, cos_inside, -cos_raw)
+        dt = ud[0] * own[0] + ud[1] * own[1] + ud[2] * own[2]
+        disc = 1.0 - nio * nio * (1.0 - dt * dt)
+        can_refract = disc > 0.0
+        root = jnp.sqrt(jnp.maximum(disc, 0.0))
+        refr = (nio * (ud[0] - own[0] * dt) - own[0] * root,
+                nio * (ud[1] - own[1] * dt) - own[1] * root,
+                nio * (ud[2] - own[2] * dt) - own[2] * root)
+        r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
+        r0 = r0 * r0
+        x = 1.0 - cosine
+        x2 = x * x
+        schl = r0 + (1.0 - r0) * (x2 * x2 * x)
+        reflect_prob = jnp.where(can_refract, schl, 1.0)
+        diel_reflect = u_choice < reflect_prob
+        ddn2 = 2.0 * d_dot_n
+        drefl = (d[0] - ddn2 * n[0], d[1] - ddn2 * n[1],
+                 d[2] - ddn2 * n[2])
+        return tuple(jnp.where(diel_reflect, drefl[c], refr[c])
+                     for c in range(3))
+
+    diel_fixup = None
+    if is_diel is not False and not _SP_DENSE_DIEL:
+        # Block-skipped dielectric (VERDICT r3 Weak #4): the base path
+        # treats dielectric winners as lambertian-direction survivors
+        # with attenuation 1 (their thr/o/rad/death outputs are already
+        # exact — a dielectric always scatters with attenuation 1,
+        # src/material.cuh:117-123); only the direction planes need the
+        # refract/Schlick chain, applied as a @pl.when fix-up to the
+        # stored refs when the block holds any live dielectric winner.
+        # Blocks off the glass (pixel-coherent pool) skip the chain.
+        def diel_fixup(dxo_ref, dyo_ref, dzo_ref, fix_mask):
+            @pl.when(jnp.any(fix_mask))
+            def _():
+                ddir = _diel_dir()
+                dxo_ref[:] = jnp.where(fix_mask, ddir[0], dxo_ref[:])
+                dyo_ref[:] = jnp.where(fix_mask, ddir[1], dyo_ref[:])
+                dzo_ref[:] = jnp.where(fix_mask, ddir[2], dzo_ref[:])
+    elif is_diel is not False:
+        ddir = _diel_dir()
+        direction = tuple(jnp.where(is_diel, ddir[c], direction[c])
+                          for c in range(3))
 
     # ---- blend by tag + integrate (src/main.cu:71-83) ----
-    direction = tuple(
-        jnp.where(is_diel, ddir[c],
-                  jnp.where(is_metal, mdir[c], direction[c]))
-        for c in range(3)
-    )
     atten = tuple(
-        jnp.where(is_diel, 1.0, jnp.where(is_metal, malb[c], texv[c]))
+        sel3(is_diel, 1.0, sel3(is_metal, malb[c], texv[c]))
         for c in range(3)
     )
-    scattered = ~is_light & (~is_metal | metal_alive)
-    survived = live_hit & scattered
+    scattered = True
+    if is_light is not False:
+        scattered = ~is_light
+    if is_metal is not False:
+        m_ok = ~is_metal | metal_alive
+        scattered = m_ok if scattered is True else (scattered & m_ok)
+    survived = live_hit if scattered is True else (live_hit & scattered)
     thr = tuple(jnp.where(survived, thr[c] * atten[c], thr[c])
                 for c in range(3))
     o_out = tuple(jnp.where(survived, p[c], o[c]) for c in range(3))
@@ -313,7 +362,13 @@ def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
         bounce=bounce,
         act=still.astype(jnp.int32),
     )
-    return out, died
+    if diel_fixup is not None:
+        fix_mask = is_diel & survived
+        fixer = diel_fixup
+        diel_fixup = lambda dx_r, dy_r, dz_r: fixer(
+            dx_r, dy_r, dz_r, fix_mask
+        )
+    return out, died, diel_fixup
 
 
 def _make_sp_rng_kernel(consts, n_media: int, max_depth: int,
@@ -355,11 +410,15 @@ def _make_sp_rng_kernel(consts, n_media: int, max_depth: int,
             t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
             bounce_ref, pix_ref, act_ref, carry_smem,
         )
-        out, died = _sp_bounce(
+        out, died, diel_fix = _sp_bounce(
             consts, gradient, max_depth, bg_ref, vals, u_ball, u_choice
         )
         for ref, name in zip(outs, _REFILL_NAMES_F + _REFILL_NAMES_I):
             ref[:] = out[name]
+        if diel_fix is not None:
+            names = _REFILL_NAMES_F + _REFILL_NAMES_I
+            diel_fix(outs[names.index("dx")], outs[names.index("dy")],
+                     outs[names.index("dz")])
         diedo[:] = died.astype(jnp.int32)
 
         @pl.when(b == pl.num_programs(0) - 1)
@@ -394,11 +453,15 @@ def _make_sp_kernel(consts, n_media: int, max_depth: int, gradient: bool):
             t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
             bounce_ref, pix_ref, act_ref, carry_smem,
         )
-        out, died = _sp_bounce(
+        out, died, diel_fix = _sp_bounce(
             consts, gradient, max_depth, bg_ref, vals, u_ball, u_choice
         )
         for ref, name in zip(outs, _REFILL_NAMES_F + _REFILL_NAMES_I):
             ref[:] = out[name]
+        if diel_fix is not None:
+            names = _REFILL_NAMES_F + _REFILL_NAMES_I
+            diel_fix(outs[names.index("dx")], outs[names.index("dy")],
+                     outs[names.index("dz")])
         diedo[:] = died.astype(jnp.int32)
 
         @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
@@ -451,7 +514,7 @@ def _make_sp_flush_rng_kernel(consts, n_media: int, max_depth: int,
             t0_ref, t1_ref, t2_ref, r0_ref, r1_ref, r2_ref,
             bounce_ref, pix_ref, act_ref, carry_smem,
         )
-        out, died = _sp_bounce(
+        out, died, diel_fix = _sp_bounce(
             consts, gradient, max_depth, bg_ref, vals, u_ball, u_choice
         )
         _flush_dead(
@@ -461,6 +524,10 @@ def _make_sp_flush_rng_kernel(consts, n_media: int, max_depth: int,
         )
         for ref, name in zip(outs, _REFILL_NAMES_F + _REFILL_NAMES_I):
             ref[:] = out[name]
+        if diel_fix is not None:
+            names = _REFILL_NAMES_F + _REFILL_NAMES_I
+            diel_fix(outs[names.index("dx")], outs[names.index("dy")],
+                     outs[names.index("dz")])
         diedo[:] = died.astype(jnp.int32)
 
         @pl.when(b == pl.num_programs(0) - 1)

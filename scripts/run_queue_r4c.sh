@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-4 queue C: measurement-rigor items.
+#
+# 1. Parity brightness-deficit analysis (VERDICT r3 Weak #3):
+#    clamped vs unclamped means over an spp ladder for the two flagged
+#    scenes (scripts/exp_parity_bias.py).
+# 2. Sharded-overhead remeasure with shape-exact warm-up (Weak #2) on
+#    two scenes; unsharded controls must land within ~5% of the
+#    official timings.
+#
+# Usage: bash scripts/run_queue_r4c.sh [logfile]
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+LOG="${1:-/root/repo/docs/logs/queue_r4c.log}"
+source "$(dirname "$0")/tpu_slot.sh"
+: > "$LOG"
+
+say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+say "probing tunnel..."
+until yield_wait; flock "$LOCK" timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+  say "tunnel down, retrying"
+  sleep 240
+done
+say "tunnel UP"
+
+say "=== parity brightness-deficit ladder ==="
+yield_wait; flock "$LOCK" python scripts/exp_parity_bias.py 128 512 2048 >> "$LOG" 2>&1
+say "rc=$?"
+
+say "=== sharded overhead, shape-exact warm-up ==="
+yield_wait; flock "$LOCK" python scripts/exp_sharded_tpu.py cornell_smoke 600 600 500 >> "$LOG" 2>&1
+say "rc=$?"
+yield_wait; flock "$LOCK" python scripts/exp_sharded_tpu.py quads 1200 600 500 >> "$LOG" 2>&1
+say "rc=$?"
+yield_wait; flock "$LOCK" python scripts/exp_sharded_tpu.py bouncing_spheres 1200 800 500 >> "$LOG" 2>&1
+say "rc=$?"
+
+say "ALL DONE"
