@@ -53,6 +53,12 @@ SPH_K = int(os.environ.get("ART_TPU_SPH_K", "8192"))
 # the binned skip kernel too — compaction preserves slot (pixel) order, so
 # compacted blocks stay coherent and the per-bin whens can still prune.
 _COMPACT_SKIP = bool(os.environ.get("ART_TPU_COMPACT_SKIP"))
+# Measurement-only (wrong image when cnt > K): force the adaptive cond to
+# its compact / dense branch unconditionally, isolating each branch's
+# per-iteration cost from the branch-ratio question (the end-to-end
+# compact win is far below the per-branch cost model's prediction —
+# this pins whether the gap is branch cost or branch ratio).
+_FORCE_BRANCH = os.environ.get("ART_TPU_SPH_FORCE_BRANCH", "")
 
 
 def tail_box_needy(box, o, d, t_min: float) -> jnp.ndarray:
@@ -187,5 +193,10 @@ def sphere_hit_attrs_split(
             jnp.where(better, jnp.int32(int(tables.sph_tail_mat)), m_h),
         )
 
-    t, nx, ny, nz, m = jax.lax.cond(cnt <= K, compact, dense, None)
+    if _FORCE_BRANCH == "compact":  # measurement only (see module top)
+        t, nx, ny, nz, m = compact(None)
+    elif _FORCE_BRANCH == "dense":
+        t, nx, ny, nz, m = dense(None)
+    else:
+        t, nx, ny, nz, m = jax.lax.cond(cnt <= K, compact, dense, None)
     return _sphere_uv_epilogue(t, nx, ny, nz, m, R, needs_uv)

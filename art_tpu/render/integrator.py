@@ -307,9 +307,11 @@ class _PoolState(NamedTuple):
     active: jnp.ndarray  # (R,) bool
     fb: jnp.ndarray  # (P,3) radiance accumulator
     rays: jnp.ndarray  # () float32 cumulative traced segments
-    # (18,) int32 instrumentation accumulator (ART_TPU_STATS_NEEDY):
+    # (19,) int32 instrumentation accumulator (ART_TPU_STATS_NEEDY):
     # [0:16] histogram of needy-fraction buckets (needy*16//R),
-    # [16] total needy, [17] total active.  All-zeros when off.
+    # [16] total needy, [17] total active, [18] iterations whose
+    # UNMASKED needy count <= SPH_K (the compact-branch ratio).
+    # All-zeros when off.
     aux: jnp.ndarray
 
 
@@ -380,7 +382,7 @@ def render_wavefront(
             )
         ),
         rays=jnp.float32(0.0),
-        aux=jnp.zeros((18,), jnp.int32),
+        aux=jnp.zeros((19,), jnp.int32),
     )
 
     def cond(st: _PoolState):
@@ -617,14 +619,19 @@ def render_wavefront(
                 next_q = st.next_q + jnp.sum(take.astype(jnp.int32))
 
             if _STATS_NEEDY and tables.sph_tail_box:
-                from art_tpu.ops.compact_sphere import tail_box_needy
+                from art_tpu.ops.compact_sphere import SPH_K, tail_box_needy
 
-                needy = tail_box_needy(tables.sph_tail_box, o, d, 1e-3) & active
+                needy_raw = tail_box_needy(tables.sph_tail_box, o, d, 1e-3)
+                needy = needy_raw & active
                 ncnt = jnp.sum(needy.astype(jnp.int32))
                 bucket = jnp.clip((ncnt * 16) // R, 0, 15)
                 aux = st.aux.at[bucket].add(1)
                 aux = aux.at[16].add(ncnt)
                 aux = aux.at[17].add(jnp.sum(active.astype(jnp.int32)))
+                # exact compact-branch ratio: the production predicate is
+                # the UNMASKED needy count (stale dead-lane rays included)
+                raw_cnt = jnp.sum(needy_raw.astype(jnp.int32))
+                aux = aux.at[18].add((raw_cnt <= SPH_K).astype(jnp.int32))
             else:
                 aux = st.aux
 

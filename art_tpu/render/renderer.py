@@ -277,7 +277,8 @@ def render_scene(
                 a = np.asarray(aux[0])
                 print(
                     f"needy_hist(R/16 buckets)={a[:16].tolist()} "
-                    f"total_needy={int(a[16])} total_active={int(a[17])}",
+                    f"total_needy={int(a[16])} total_active={int(a[17])} "
+                    f"compact_iters={int(a[18])}",
                     file=sys.stderr,
                 )
             if checkpoint_path:

@@ -47,4 +47,11 @@ run cornell_smoke 600 600 500 ART_TPU_NO_BAKED_SHADE=1
 run perlin 1200 600 500 X=1
 run perlin 1200 600 500 ART_TPU_NO_BAKED_SHADE=1
 
+say "=== SP chain elision + block-skipped dielectric ==="
+run quads 1200 600 500 X=1                       # SP default, metal+diel chains now elided
+run checkered_spheres 1200 600 500 X=1           # SP default, elided chains
+run three_spheres 1200 600 500 X=1               # staged baseline (baked shade)
+run three_spheres 1200 600 500 ART_TPU_SP=1      # SP w/ block-skipped diel fix-up
+run three_spheres 1200 600 500 ART_TPU_SP=1 ART_TPU_SP_DENSE_DIEL=1  # r3 dense form
+
 say "ALL DONE"

@@ -37,4 +37,22 @@ say "rc=$?"
 yield_wait; flock "$LOCK" python scripts/exp_sharded_tpu.py bouncing_spheres 1200 800 500 >> "$LOG" 2>&1
 say "rc=$?"
 
+run() { # run NAME NX NY SPP [ENV=V ...]
+  local name=$1 nx=$2 ny=$3 spp=$4; shift 4
+  say "run: $name $nx $ny $spp  env: $*"
+  yield_wait; flock "$LOCK" env "$@" python scripts/exp_shortpath.py "$name" "$nx" "$ny" "$spp" \
+    >> "$LOG" 2>&1
+  say "rc=$?"
+}
+
+say "=== compact-branch cost decomposition (final_scene) ==="
+# The end-to-end compact win (65.64 vs 64.01 r3) is ~10x below the
+# per-branch cost model's prediction.  Pin where the model is wrong:
+# branch RATIO at production slots (stats row) and per-branch COST
+# (forced rows; compact-forced renders a wrong image past K — t_iter
+# is the only meaningful output).
+run final_scene 800 800 500 ART_TPU_NO_BAKED_SHADE=1 ART_TPU_NO_SPH_SKIP=1 ART_TPU_STATS_NEEDY=1
+run final_scene 800 800 500 ART_TPU_NO_BAKED_SHADE=1 ART_TPU_NO_SPH_SKIP=1 ART_TPU_SPH_FORCE_BRANCH=dense
+run final_scene 800 800 500 ART_TPU_NO_BAKED_SHADE=1 ART_TPU_NO_SPH_SKIP=1 ART_TPU_SPH_FORCE_BRANCH=compact
+
 say "ALL DONE"
