@@ -162,6 +162,12 @@ _COMPACT_SPH_MIN_TAIL = 512
 # the dense fallback (and the plain dense path when compaction is off);
 # ART_TPU_NO_SPH_SKIP=1 restores the dense scan.
 _NO_SPH_SKIP = bool(os.environ.get("ART_TPU_NO_SPH_SKIP"))
+# Cell-binned sphere kernel (pallas_kernels._sphere_cellbin_kernel):
+# block-level 2-D lattice pruning over the WHOLE sphere set (moving
+# included, per-row materials) for many-small-spheres scenes with no
+# uniform tail — bouncing_spheres' ~490-row dense scan.  Opt-in pending
+# the round-4 TPU A/B (queue r4e).
+_SPH_CELLBIN = bool(os.environ.get("ART_TPU_SPH_CELLBIN"))
 # Per-ray BVH descent for spheres (opt-in): the direct analog of the
 # reference's log-n bvh_node::hit (src/bvh.cuh:95-106).  Measured on v5e
 # it loses by an order of magnitude to the brute-force vector kernels —
@@ -574,7 +580,13 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                     and tables.sph_skip_bins is not None
                     and tables.sph_tail_box
                 )
-                if (
+                if _SPH_CELLBIN and tables.sph_cellbin_meta is not None:
+                    t_s, n_s, u_s, v_s, m_s = pk.sphere_cellbin_hit_attrs(
+                        tables.sph_cellbin_packed, o, d, time,
+                        meta=tables.sph_cellbin_meta,
+                        pos_r=pos_r, expand=expand, needs_uv=needs_uv,
+                    )
+                elif (
                     _COMPACT_SPH
                     and not _NO_SPH_TAIL
                     and tables.sph_n_tail >= _COMPACT_SPH_MIN_TAIL

@@ -1393,6 +1393,441 @@ def sphere_skip_hit_attrs(
 
 
 # ---------------------------------------------------------------------------
+# Cell-binned sphere kernel (many-small-spheres scenes, mixed moving/static)
+# ---------------------------------------------------------------------------
+
+# Minimum binnable-sphere count for the cell-binned kernel.
+CELLBIN_MIN = 128
+# Unroll for the per-cell loops (cells hold ~30 rows; the head keeps
+# _SPH_UNROLL).  Every cell segment is padded to this multiple.
+_CELLBIN_UNROLL = int(__import__("os").environ.get("ART_TPU_CELLBIN_UNROLL", "8"))
+_CELLBIN_GRID = int(__import__("os").environ.get("ART_TPU_CELLBIN_GRID", "4"))
+
+
+def pack_cellbin_spheres(sph_packed, n_moving_pad: int, n_static: int,
+                         gx: int = 0, gz: int = 0):
+    """Kernel table + compile-time cell metadata for _sphere_cellbin_kernel.
+
+    Re-lays pack_spheres output as [head moving | head static | cell 0
+    moving | cell 0 static | cell 1 moving | ...]: spheres are assigned
+    to a ``gx x gz`` cell lattice over the two largest-extent world axes
+    of their swept AABBs (center at t=0 and t=1, +- |r| — the reference's
+    moving-sphere bbox rule, src/sphere.cuh:33-37); spheres whose extent
+    along either lattice axis exceeds 1.5 cells (e.g. the r=1000 ground
+    sphere) stay in the dense head.  Each cell's moving/static segments
+    are padded to _CELLBIN_UNROLL with inert rows (r2 = -1 / K = 1e30,
+    the pack_spheres Cauchy-Schwarz rejection).
+
+    Returns ``(table (N, 10), (head_m_rows, head_s_rows, cells,
+    union_box))`` where each cell is ``(m0, m1, s0, s1, box6)`` row
+    ranges + its members' conservative swept AABB, and ``union_box``
+    bounds every binned sphere.  ``(table, None)`` when fewer than
+    CELLBIN_MIN spheres are binnable."""
+    import numpy as np
+
+    gx = gx or _CELLBIN_GRID
+    gz = gz or _CELLBIN_GRID
+    pk = np.asarray(sph_packed)
+    real = pk[:, 8] > 0.0  # pad rows carry r2 = -1
+    rows = pk[real]
+    if len(rows) < CELLBIN_MIN:
+        return jnp.asarray(pk), None
+    c0 = rows[:, 0:3].astype(np.float64)
+    c1 = c0 + rows[:, 3:6].astype(np.float64)
+    r = np.abs(rows[:, 6:7].astype(np.float64))
+    lo = np.minimum(c0, c1) - r
+    hi = np.maximum(c0, c1) + r
+    ext = hi - lo
+    # Lattice bounds must exclude scene-spanning outliers (the r=1000
+    # ground sphere would inflate the cell size ~90x): prefilter to rows
+    # within 8x the median extent, THEN drop rows spanning > 1.5 cells.
+    med = np.median(ext, axis=0)
+    small = np.all(ext <= 8.0 * med + 1e-12, axis=1)
+    if int(small.sum()) < CELLBIN_MIN:
+        return jnp.asarray(pk), None
+    span = hi[small].max(axis=0) - lo[small].min(axis=0)
+    ax0, ax1 = np.argsort(span)[-2:]  # two largest-extent axes
+    ax0, ax1 = int(min(ax0, ax1)), int(max(ax0, ax1))
+    lo0, hi0 = lo[small, ax0].min(), hi[small, ax0].max()
+    lo1, hi1 = lo[small, ax1].min(), hi[small, ax1].max()
+    cell0 = (hi0 - lo0) / gx
+    cell1 = (hi1 - lo1) / gz
+    binnable = (
+        small
+        & (ext[:, ax0] <= 1.5 * cell0)
+        & (ext[:, ax1] <= 1.5 * cell1)
+    )
+    if int(binnable.sum()) < CELLBIN_MIN:
+        return jnp.asarray(pk), None
+    head = rows[~binnable]
+    binned = rows[binnable]
+    blo, bhi = lo[binnable], hi[binnable]
+    mid = 0.5 * (blo + bhi)
+    i0 = np.clip(((mid[:, ax0] - lo0) / max(cell0, 1e-30)).astype(int), 0, gx - 1)
+    i1 = np.clip(((mid[:, ax1] - lo1) / max(cell1, 1e-30)).astype(int), 0, gz - 1)
+    cell_of = i0 * gz + i1
+
+    U = _CELLBIN_UNROLL
+    pad_head = 32 * _SPH_UNROLL // math.gcd(32, _SPH_UNROLL)
+
+    def pad_rows(rr, pad):
+        if not len(rr):
+            return np.zeros((0, 10), np.float32)
+        n_p = -(-len(rr) // pad) * pad
+        out = np.zeros((n_p, 10), np.float32)
+        out[:, 8] = -1.0
+        out[:, 9] = 1e30
+        out[: len(rr)] = rr
+        return out
+
+    def split_mov(rr):
+        is_mov = np.any(rr[:, 3:6] != 0.0, axis=1)
+        return rr[is_mov], rr[~is_mov]
+
+    hm_rows, hs_rows = split_mov(head)
+    segs = [pad_rows(hm_rows, pad_head), pad_rows(hs_rows, pad_head)]
+    head_m, head_s = len(segs[0]), len(segs[1])
+    row0 = head_m + head_s
+    cells = []
+    for ci in range(gx * gz):
+        rr = binned[cell_of == ci]
+        if not len(rr):
+            continue
+        sel = cell_of == ci
+        clo = blo[sel].min(axis=0)
+        chi = bhi[sel].max(axis=0)
+        eps = 1e-3 + 1e-6 * float(np.max(np.abs(np.concatenate([clo, chi]))))
+        box = tuple(float(v) for v in np.concatenate([clo - eps, chi + eps]))
+        mv, st = split_mov(rr)
+        mseg, sseg = pad_rows(mv, U), pad_rows(st, U)
+        cells.append((int(row0), int(row0 + len(mseg)),
+                      int(row0 + len(mseg)), int(row0 + len(mseg) + len(sseg)),
+                      box))
+        segs += [mseg, sseg]
+        row0 += len(mseg) + len(sseg)
+    ulo = blo.min(axis=0)
+    uhi = bhi.max(axis=0)
+    ueps = 1e-3 + 1e-6 * float(np.max(np.abs(np.concatenate([ulo, uhi]))))
+    union = tuple(float(v) for v in np.concatenate([ulo - ueps, uhi + ueps]))
+    table = np.concatenate(segs, axis=0)
+    return jnp.asarray(table), (int(head_m), int(head_s), tuple(cells), union)
+
+
+def pack_tail2d_spheres(sph_packed, n_moving_pad: int, n_static: int,
+                        n_tail: int, g: int = 3):
+    """Tail-cluster 3-D lattice packing for _sphere_cellbin_kernel.
+
+    pack_skip_spheres' 1-D y-bins cannot prune cluster-FACING blocks:
+    every y-slab spans the cluster's full depth, so each slab's entry
+    face IS the cluster front and every bin crosses.  This packing cuts
+    the tail into a (g x g x g) lattice instead — boxes tight in all
+    three axes, so no camera-axis guess is needed — and relies on the
+    cellbin kernel's occlusion bound (t_near <= best_t) to drop REAR
+    cells once nearer-cell hits have been merged.  Head = the moving +
+    main rows (dense, as in _sphere_skip_kernel); returns the same
+    ``(table, meta)`` contract as pack_cellbin_spheres."""
+    import numpy as np
+
+    pk = np.asarray(sph_packed)
+    pad = 32 * _SPH_UNROLL // math.gcd(32, _SPH_UNROLL)
+    mov = pk[:n_moving_pad]
+    n_main_real = n_static - n_tail
+    main = pk[n_moving_pad : n_moving_pad + n_main_real]
+    tail = pk[n_moving_pad + n_main_real : n_moving_pad + n_static]
+
+    def pad_rows(rr, p):
+        if not len(rr):
+            return np.zeros((0, 10), np.float32)
+        n_p = -(-len(rr) // p) * p
+        out = np.zeros((n_p, 10), np.float32)
+        out[:, 8] = -1.0
+        out[:, 9] = 1e30
+        out[: len(rr)] = rr
+        return out
+
+    c = tail[:, 0:3].astype(np.float64)
+    r = np.abs(tail[:, 6:7].astype(np.float64))
+    lo = c - r
+    hi = c + r
+    lo3 = lo.min(axis=0)
+    cell3 = np.maximum((hi.max(axis=0) - lo3) / g, 1e-30)
+    mid = 0.5 * (lo + hi)
+    idx3 = np.clip(((mid - lo3) / cell3).astype(int), 0, g - 1)
+    cell_of = (idx3[:, 0] * g + idx3[:, 1]) * g + idx3[:, 2]
+
+    U = _CELLBIN_UNROLL
+    head_mov = pad_rows(mov[pk[:n_moving_pad, 8] > 0.0] if len(mov) else mov,
+                        pad)
+    head_main = pad_rows(main, pad)
+    segs = [head_mov, head_main]
+    head_m, head_s = len(head_mov), len(head_main)
+    row0 = head_m + head_s
+    cells = []
+    for ci in range(g * g * g):
+        sel = cell_of == ci
+        rr = tail[sel]
+        if not len(rr):
+            continue
+        clo = lo[sel].min(axis=0)
+        chi = hi[sel].max(axis=0)
+        eps = 1e-3 + 1e-6 * float(np.max(np.abs(np.concatenate([clo, chi]))))
+        box = tuple(float(v) for v in np.concatenate([clo - eps, chi + eps]))
+        seg = pad_rows(rr, U)
+        # tail rows are static: moving segment empty
+        cells.append((int(row0), int(row0), int(row0),
+                      int(row0 + len(seg)), box))
+        segs.append(seg)
+        row0 += len(seg)
+    ulo = lo.min(axis=0)
+    uhi = hi.max(axis=0)
+    ueps = 1e-3 + 1e-6 * float(np.max(np.abs(np.concatenate([ulo, uhi]))))
+    union = tuple(float(v) for v in np.concatenate([ulo - ueps, uhi + ueps]))
+    table = np.concatenate(segs, axis=0)
+    return jnp.asarray(table), (int(head_m), int(head_s), tuple(cells), union)
+
+
+def _slab_interval_tmax(box, o, d, t_min: float, tmax):
+    """_slab_interval with an occlusion bound: a cell whose entry point
+    lies beyond the ray's current closest hit cannot improve it."""
+    x0, y0, z0, x1, y1, z1 = box
+    t_near = jnp.full(o[0].shape, t_min, jnp.float32)
+    t_far = jnp.full(o[0].shape, BIG, jnp.float32)
+    for lo, hi, oc, dc in ((x0, x1, o[0], d[0]),
+                           (y0, y1, o[1], d[1]),
+                           (z0, z1, o[2], d[2])):
+        inv = 1.0 / jnp.where(dc == 0.0, 1e-20, dc)
+        ta = (lo - oc) * inv
+        tb = (hi - oc) * inv
+        t_near = jnp.maximum(t_near, jnp.minimum(ta, tb))
+        t_far = jnp.minimum(t_far, jnp.maximum(ta, tb))
+    return (t_far >= t_near) & (t_near <= tmax)
+
+
+def _sphere_cellbin_kernel(sph_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                           dz_ref, tm_ref, t_ref, nx_ref, ny_ref, nz_ref,
+                           mat_ref,
+                           *, head_m: int, head_s: int, cells: tuple,
+                           union_box: tuple, t_min: float, expand: bool,
+                           pos_r: bool):
+    """Closest sphere hit with block-level cell pruning over the whole
+    sphere set (mixed moving/static, per-row materials).
+
+    _sphere_skip_kernel prunes a single (r, mat)-uniform static tail
+    cluster; bouncing_spheres-class scenes (src/main.cu:160-244: 22x22
+    lattice of ~390 moving + ~95 static small spheres, per-sphere
+    materials) have no such tail, so round 3 left them on the dense
+    ~490-row scan.  This kernel generalizes the block-pruning idea:
+
+    1. head rows (the r=1000 ground + anything spanning > 1.5 cells)
+       run dense, epilogue written unconditionally;
+    2. the rest live in compile-time (gx x gz) lattice cells over the
+       two largest-extent world axes (pack_cellbin_spheres); each cell's
+       moving+static loops run under `@pl.when(any lane crosses the cell
+       AABB *before its current closest hit*)` — the occlusion bound
+       (t_near <= best_t) prunes cells behind the ground hit the head
+       loop just stored, which a plain slab test cannot;
+    3. each surviving cell closest-t-merges its winner (center, signed
+       radius, material carried per-row) into the stored outputs.
+
+    Candidate math is case-equal to _sphere_kernel; cross-cell ties may
+    pick a different equally-valid winner than the dense first-wins scan
+    (measure-zero).  Replaces the reference's per-thread BVH descent
+    (src/bvh.cuh:95-106) with block-synchronous lattice pruning."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tm = tm_ref[:]
+
+    a = dx * dx + dy * dy + dz * dz
+    neg_inv_a = -1.0 / a
+    ta2 = -t_min * a
+
+    def _roots(b, c):
+        disc = b * b - a * c
+        sq = jnp.sqrt(disc)
+        s2 = jnp.where(b + sq < ta2, sq, -sq)
+        return (b + s2) * neg_inv_a
+
+    def update(carry, cand):
+        better = (cand[0] > t_min) & (cand[0] < carry[0])  # false on NaN
+        return tuple(jnp.where(better, n, c) for n, c in zip(cand, carry))
+
+    carry_r = not pos_r
+    zeros = jnp.zeros(ox.shape, jnp.float32)
+
+    if expand:
+        oo = ox * ox + oy * oy + oz * oz
+        od = ox * dx + oy * dy + oz * dz
+        ox2, oy2, oz2 = 2.0 * ox, 2.0 * oy, 2.0 * oz
+
+        def bc(s):
+            cx = sph_ref[s, 0]
+            cy = sph_ref[s, 1]
+            cz = sph_ref[s, 2]
+            b = od - (cx * dx + cy * dy + cz * dz)
+            c = (oo + sph_ref[s, 9]) - (cx * ox2 + cy * oy2 + cz * oz2)
+            return b, c, cx, cy, cz
+    else:
+        def bc(s):
+            cx = sph_ref[s, 0]
+            cy = sph_ref[s, 1]
+            cz = sph_ref[s, 2]
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - sph_ref[s, 8]
+            return b, c, cx, cy, cz
+
+    def candidate_moving(s):
+        cx = sph_ref[s, 0] + tm * sph_ref[s, 3]
+        cy = sph_ref[s, 1] + tm * sph_ref[s, 4]
+        cz = sph_ref[s, 2] + tm * sph_ref[s, 5]
+        ocx = ox - cx
+        ocy = oy - cy
+        ocz = oz - cz
+        b = ocx * dx + ocy * dy + ocz * dz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - sph_ref[s, 8]
+        cand = _roots(b, c)
+        if carry_r:
+            return cand, cx, cy, cz, sph_ref[s, 6], sph_ref[s, 7]
+        return cand, cx, cy, cz, sph_ref[s, 7]
+
+    def candidate_static(s):
+        b, c, cx, cy, cz = bc(s)
+        cand = _roots(b, c)
+        if carry_r:
+            return cand, cx, cy, cz, sph_ref[s, 6], sph_ref[s, 7]
+        return cand, cx, cy, cz, sph_ref[s, 7]
+
+    def body_at(U, candidate):
+        def body(i, carry):
+            s = i * U
+            for k in range(U):
+                carry = update(carry, candidate(s + k))
+            return carry
+
+        return body
+
+    init = (
+        (jnp.full(ox.shape, BIG, jnp.float32),)
+        + (zeros, zeros, zeros)
+        + ((jnp.full(ox.shape, 1.0, jnp.float32),) if carry_r else ())
+        + (zeros,)
+    )
+    UH = _SPH_UNROLL
+    carry = init
+    if head_m:
+        carry = jax.lax.fori_loop(
+            0, head_m // UH, body_at(UH, candidate_moving), carry
+        )
+    if head_s:
+        body = body_at(UH, candidate_static)
+
+        def body_off(i, c):
+            return body(i + head_m // UH, c)
+
+        carry = jax.lax.fori_loop(0, head_s // UH, body_off, carry)
+
+    best_t, bcx, bcy, bcz = carry[:4]
+    bm = carry[-1]
+    t_n = best_t if carry_r else jnp.minimum(best_t, 1e18)
+    px = ox + t_n * dx - bcx
+    py = oy + t_n * dy - bcy
+    pz = oz + t_n * dz - bcz
+    inv_r = (1.0 / carry[4]) if carry_r else jax.lax.rsqrt(
+        px * px + py * py + pz * pz
+    )
+    t_ref[:] = best_t
+    nx_ref[:] = px * inv_r
+    ny_ref[:] = py * inv_r
+    nz_ref[:] = pz * inv_r
+    mat_ref[:] = bm.astype(jnp.int32)
+
+    UC = _CELLBIN_UNROLL
+    needy = _slab_interval_tmax(
+        union_box, (ox, oy, oz), (dx, dy, dz), t_min, t_ref[:]
+    )
+
+    @pl.when(jnp.any(needy))
+    def _():
+        for m0, m1, s0, s1, box in cells:
+            cross = needy & _slab_interval_tmax(
+                box, (ox, oy, oz), (dx, dy, dz), t_min, t_ref[:]
+            )
+
+            @pl.when(jnp.any(cross))
+            def _(m0=m0, m1=m1, s0=s0, s1=s1):
+                zt = init
+                if m1 > m0:
+                    zt = jax.lax.fori_loop(
+                        m0 // UC, m1 // UC,
+                        body_at(UC, candidate_moving), zt,
+                    )
+                if s1 > s0:
+                    zt = jax.lax.fori_loop(
+                        s0 // UC, s1 // UC,
+                        body_at(UC, candidate_static), zt,
+                    )
+                t2, cx2, cy2, cz2 = zt[:4]
+                m2 = zt[-1]
+                prev_t = t_ref[:]
+                better = t2 < prev_t  # cell loop honors t_min already
+                t2n = t2 if carry_r else jnp.minimum(t2, 1e18)
+                px2 = ox + t2n * dx - cx2
+                py2 = oy + t2n * dy - cy2
+                pz2 = oz + t2n * dz - cz2
+                inv2 = (1.0 / zt[4]) if carry_r else jax.lax.rsqrt(
+                    px2 * px2 + py2 * py2 + pz2 * pz2
+                )
+                t_ref[:] = jnp.where(better, t2, prev_t)
+                nx_ref[:] = jnp.where(better, px2 * inv2, nx_ref[:])
+                ny_ref[:] = jnp.where(better, py2 * inv2, ny_ref[:])
+                nz_ref[:] = jnp.where(better, pz2 * inv2, nz_ref[:])
+                mat_ref[:] = jnp.where(
+                    better, m2.astype(jnp.int32), mat_ref[:]
+                )
+
+
+def sphere_cellbin_hit_attrs(
+    sph_cellbin_packed: jnp.ndarray,  # (N, 10) pack_cellbin_spheres table
+    o,  # 3-tuple of (R,) planes
+    d,
+    tm: jnp.ndarray,  # (R,)
+    *,
+    meta: tuple,  # (head_m, head_s, cells, union_box) from pack
+    pos_r: bool,
+    expand: bool,
+    needs_uv: bool,
+    interpret: bool = False,
+):
+    """sphere_hit_attrs_planar drop-in with block-level lattice-cell
+    pruning (same outputs; many-small-spheres scenes)."""
+    head_m, head_s, cells, union_box = meta
+    R = o[0].shape[0]
+    rows, grid, ray_spec = _ray_grid(R)
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    comps = tuple(plane(c) for c in (*o, *d, tm))
+    f32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    t, nx, ny, nz, mat = pl.pallas_call(
+        functools.partial(
+            _sphere_cellbin_kernel, head_m=head_m, head_s=head_s,
+            cells=cells, union_box=union_box, t_min=1e-3, expand=expand,
+            pos_r=pos_r,
+        ),
+        grid=(grid,),
+        in_specs=[_sph_table_spec()] + [ray_spec] * 7,
+        out_specs=(ray_spec,) * 5,
+        out_shape=(f32, f32, f32, f32, i32),
+        interpret=interpret,
+    )(sph_cellbin_packed, *comps)
+    return _sphere_uv_epilogue(t, nx, ny, nz, mat, R, needs_uv)
+
+
+# ---------------------------------------------------------------------------
 # Quads
 # ---------------------------------------------------------------------------
 

@@ -708,6 +708,30 @@ class _Compiler:
                 sph_packed, sph_n_moving_pad, sph_n_static, sph_n_tail,
                 axis, nbins,
             )
+        # Cell-binned kernel table (pallas_kernels._sphere_cellbin_kernel):
+        # every small sphere (moving included) in a 2-D lattice cell, for
+        # many-small-spheres scenes with NO uniform tail (bouncing's 22x22
+        # grid of per-material movers).  pack returns meta=None below its
+        # own binnable-count gate.
+        sph_cellbin_packed = jnp.zeros((1, 10), jnp.float32)
+        sph_cellbin_meta = None
+        from art_tpu.ops.pallas_kernels import CELLBIN_MIN
+
+        if sph_n_tail >= SKIP_MIN_TAIL and sph_tail_box:
+            # Tail-cluster scenes: 2-D (y x horizontal) lattice over the
+            # tail only — rear cells prune via the kernel's occlusion
+            # bound where 1-D y-bins cannot (pack_tail2d_spheres).
+            from art_tpu.ops.pallas_kernels import pack_tail2d_spheres
+
+            sph_cellbin_packed, sph_cellbin_meta = pack_tail2d_spheres(
+                sph_packed, sph_n_moving_pad, sph_n_static, sph_n_tail
+            )
+        elif tables.n_spheres >= CELLBIN_MIN:
+            from art_tpu.ops.pallas_kernels import pack_cellbin_spheres
+
+            sph_cellbin_packed, sph_cellbin_meta = pack_cellbin_spheres(
+                sph_packed, sph_n_moving_pad, sph_n_static
+            )
         tables = dataclasses.replace(
             tables,
             sph_packed=sph_packed,
@@ -715,6 +739,8 @@ class _Compiler:
             sph_tail_box=sph_tail_box,
             sph_skip_packed=sph_skip_packed,
             sph_skip_bins=sph_skip_bins,
+            sph_cellbin_packed=sph_cellbin_packed,
+            sph_cellbin_meta=sph_cellbin_meta,
             sph_n_moving_pad=sph_n_moving_pad,
             sph_n_static=sph_n_static,
             sph_n_tail=sph_n_tail,

@@ -145,6 +145,11 @@ class SceneTables:
     # tail rows sorted + split into contiguous axis bins for the
     # block-level pruned kernel (pallas_kernels._sphere_skip_kernel).
     sph_skip_packed: jnp.ndarray  # (N, 10)
+    # Cell-binned layout (pack_cellbin_spheres): [head moving | head
+    # static | cell segments], every small sphere (moving included)
+    # assigned to a 2-D lattice cell for the block-level pruned kernel
+    # (pallas_kernels._sphere_cellbin_kernel).
+    sph_cellbin_packed: jnp.ndarray  # (N, 10)
     quad_packed: jnp.ndarray  # (Q, 12)
     box_packed: jnp.ndarray  # (B, 12)
     # Cluster-culling copies (BVH-leaf order + per-cluster AABBs; the
@@ -237,6 +242,11 @@ class SceneTables:
     # ((row0, row1, box6), ...)) per pack_skip_spheres.  None = scene has
     # no qualifying tail cluster.
     sph_skip_bins: tuple | None = _static()
+    # Compile-time cell metadata for the cell-binned sphere kernel
+    # (pallas_kernels._sphere_cellbin_kernel): (head_m_rows, head_s_rows,
+    # ((m0, m1, s0, s1, box6), ...), union_box6) per
+    # pack_cellbin_spheres.  None = too few binnable spheres.
+    sph_cellbin_meta: tuple | None = _static()
     # Compile-time sphere table for the fully-static sphere kernel
     # (pallas_kernels._sphere_static_kernel): (moving, main, tail) per
     # static_sphere_cells.  None = scene too large to unroll (> 2048
@@ -309,6 +319,7 @@ def empty_tables() -> dict:
         sph_packed=_z((1, 10)),
         sph_tail_packed=_z((1, 10)),
         sph_skip_packed=_z((1, 10)),
+        sph_cellbin_packed=_z((1, 10)),
         quad_packed=_z((1, 12)),
         box_packed=_z((1, 12)),
         sph_cl_packed=_z((1, 9)),
@@ -354,6 +365,7 @@ def empty_tables() -> dict:
         box_grid_mat=-1.0,
         box_grid_cells=None,
         sph_skip_bins=None,
+        sph_cellbin_meta=None,
         sph_static_cells=None,
         sp_consts=None,
         shade_consts=None,

@@ -100,6 +100,23 @@ def test_sphere_skip_lowers(final):
         )
 
 
+def test_sphere_cellbin_lowers(bouncing):
+    """Cell-binned kernel: per-cell pl.when regions with moving+static
+    fori_loops and occlusion-bounded slab tests must lower (both
+    quadratic forms)."""
+    assert bouncing.sph_cellbin_meta is not None
+    o, d, tm = _rays()
+    for expand in (False, True):
+        _lower_tpu(
+            lambda o, d, tm, e=expand: pk.sphere_cellbin_hit_attrs(
+                bouncing.sph_cellbin_packed, o, d, tm,
+                meta=bouncing.sph_cellbin_meta,
+                pos_r=bouncing.sph_pos_r, expand=e, needs_uv=True,
+            ),
+            o, d, tm,
+        )
+
+
 def test_sphere_cluster_lowers(bouncing):
     assert bouncing.n_sphere_clusters > 0
     o, d, tm = _rays()
