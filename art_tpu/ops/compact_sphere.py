@@ -95,6 +95,7 @@ def sphere_hit_attrs_split(
     pos_r: bool,
     k: int = 0,  # compacted capacity (0 = SPH_K)
     use_skip: bool = False,  # block-pruned skip kernel as the fallback
+    use_cellbin: bool = False,  # 3-D tail-lattice kernel as the fallback
     interpret: bool = False,
 ):
     """Drop-in for sphere_hit_attrs_planar on tail-cluster scenes:
@@ -123,6 +124,17 @@ def sphere_hit_attrs_split(
     cnt = jnp.sum(needy.astype(jnp.int32))
 
     def dense(_):
+        if use_cellbin:
+            # 3-D tail-lattice kernel (pack_tail2d_spheres layout): rear
+            # cells prune via the occlusion bound for the 25-55%-needy
+            # cluster-facing dispatches this fallback exists for.
+            from art_tpu.ops.pallas_kernels import sphere_cellbin_hit_attrs
+
+            t, n, _, _, m = sphere_cellbin_hit_attrs(
+                tables.sph_cellbin_packed, o, d, tm,
+                meta=tables.sph_cellbin_meta, **common,
+            )
+            return t, *n, m
         if use_skip:
             t, n, _, _, m = sphere_skip_hit_attrs(
                 tables.sph_skip_packed, o, d, tm,

@@ -168,6 +168,9 @@ _NO_SPH_SKIP = bool(os.environ.get("ART_TPU_NO_SPH_SKIP"))
 # uniform tail — bouncing_spheres' ~490-row dense scan.  Opt-in pending
 # the round-4 TPU A/B (queue r4e).
 _SPH_CELLBIN = bool(os.environ.get("ART_TPU_SPH_CELLBIN"))
+# Compact pass with the 3-D tail-lattice kernel as its over-K fallback
+# (instead of the dense scan).  Opt-in pending the round-4 TPU A/B.
+_COMPACT_CELLBIN = bool(os.environ.get("ART_TPU_COMPACT_CELLBIN"))
 # Per-ray BVH descent for spheres (opt-in): the direct analog of the
 # reference's log-n bvh_node::hit (src/bvh.cuh:95-106).  Measured on v5e
 # it loses by an order of magnitude to the brute-force vector kernels —
@@ -602,6 +605,10 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                         tables, o, d, time,
                         needs_uv=needs_uv, expand=expand, pos_r=pos_r,
                         use_skip=use_skip,
+                        use_cellbin=(
+                            _COMPACT_CELLBIN
+                            and tables.sph_cellbin_meta is not None
+                        ),
                     )
                 elif use_skip:
                     t_s, n_s, u_s, v_s, m_s = pk.sphere_skip_hit_attrs(

@@ -34,18 +34,15 @@ run() { # run NAME NX NY SPP [ENV=V ...]
 }
 
 say "=== baked shade kernel A/B ==="
+# Decision-critical pairs first (earth/final/original drive the verdict
+# targets); the cheap confirmation pairs (simple_light, cornell_smoke,
+# perlin) follow and may be cut by the end-of-round bound.
 run earth 1200 600 500 X=1
 run earth 1200 600 500 ART_TPU_NO_BAKED_SHADE=1
 run final_scene 800 800 500 X=1
 run final_scene 800 800 500 ART_TPU_NO_BAKED_SHADE=1
 run original_scene 800 800 500 X=1
 run original_scene 800 800 500 ART_TPU_NO_BAKED_SHADE=1
-run simple_light 1200 600 500 X=1
-run simple_light 1200 600 500 ART_TPU_NO_BAKED_SHADE=1
-run cornell_smoke 600 600 500 X=1
-run cornell_smoke 600 600 500 ART_TPU_NO_BAKED_SHADE=1
-run perlin 1200 600 500 X=1
-run perlin 1200 600 500 ART_TPU_NO_BAKED_SHADE=1
 
 say "=== SP chain elision + block-skipped dielectric ==="
 run quads 1200 600 500 X=1                       # SP default, metal+diel chains now elided
@@ -53,5 +50,13 @@ run checkered_spheres 1200 600 500 X=1           # SP default, elided chains
 run three_spheres 1200 600 500 X=1               # staged baseline (baked shade)
 run three_spheres 1200 600 500 ART_TPU_SP=1      # SP w/ block-skipped diel fix-up
 run three_spheres 1200 600 500 ART_TPU_SP=1 ART_TPU_SP_DENSE_DIEL=1  # r3 dense form
+
+say "=== baked shade confirmation pairs (cut-safe) ==="
+run simple_light 1200 600 500 X=1
+run simple_light 1200 600 500 ART_TPU_NO_BAKED_SHADE=1
+run cornell_smoke 600 600 500 X=1
+run cornell_smoke 600 600 500 ART_TPU_NO_BAKED_SHADE=1
+run perlin 1200 600 500 X=1
+run perlin 1200 600 500 ART_TPU_NO_BAKED_SHADE=1
 
 say "ALL DONE"

@@ -51,4 +51,8 @@ say "=== tail-lattice A/B: final_scene ==="
 run final_scene 800 800 500 ART_TPU_SPH_CELLBIN=1 ART_TPU_NO_BAKED_SHADE=1
 run original_scene 800 800 500 ART_TPU_SPH_CELLBIN=1 ART_TPU_NO_BAKED_SHADE=1
 
+say "=== compact + tail-lattice fallback ==="
+run final_scene 800 800 500 ART_TPU_COMPACT_CELLBIN=1 ART_TPU_NO_BAKED_SHADE=1
+run original_scene 800 800 500 ART_TPU_COMPACT_CELLBIN=1 ART_TPU_NO_BAKED_SHADE=1
+
 say "ALL DONE"

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from art_tpu.models import build_scene
 from art_tpu.render.integrator import trace
@@ -149,15 +150,16 @@ def test_matmul_flush_matches_scatter_flush(monkeypatch):
     np.testing.assert_allclose(got, ref, rtol=6e-3, atol=2e-3)
 
 
-def test_windowed_pallas_flush_matches_scatter_flush(monkeypatch):
-    """End-to-end wavefront render through the WINDOWED Pallas flush
-    (interpret mode) vs the scatter flush: validates the live-pixel band
-    invariant (an out-of-window died ray would silently drop radiance and
-    show up as a dimmer image here)."""
+@pytest.fixture(scope="module")
+def flush_ref_128x90():
+    """Shared scatter-flush ('aos') reference for the windowed and
+    adaptive flush tests (identical scene + config: one render, not
+    two).  Returns (scene, cfg, ref_fb); each consumer monkeypatches
+    its own flush mode and clears the jit cache itself."""
     import numpy as np
 
     from art_tpu.models import build_scene
-    from art_tpu.render import integrator, renderer
+    from art_tpu.render import integrator
     from art_tpu.render.renderer import RenderConfig, render_scene
 
     # P=11520 px -> n_hi 96 > window rows R*max_depth/(spp*128) = 16:
@@ -167,9 +169,28 @@ def test_windowed_pallas_flush_matches_scatter_flush(monkeypatch):
         nx=128, ny=90, spp=32, max_depth=8,
         max_slots=8192, batch_budget=1 << 30,
     )
+    saved = integrator._FLUSH_ENV
+    integrator._FLUSH_ENV = "aos"
+    try:
+        ref, _ = render_scene(scene, cfg)
+    finally:
+        integrator._FLUSH_ENV = saved
+    return scene, cfg, np.asarray(ref)
 
-    monkeypatch.setattr(integrator, "_FLUSH_ENV", "aos")
-    ref, _ = render_scene(scene, cfg)
+
+def test_windowed_pallas_flush_matches_scatter_flush(
+    monkeypatch, flush_ref_128x90
+):
+    """End-to-end wavefront render through the WINDOWED Pallas flush
+    (interpret mode) vs the scatter flush: validates the live-pixel band
+    invariant (an out-of-window died ray would silently drop radiance and
+    show up as a dimmer image here)."""
+    import numpy as np
+
+    from art_tpu.render import integrator, renderer
+    from art_tpu.render.renderer import render_scene
+
+    scene, cfg, ref = flush_ref_128x90
     renderer._wavefront_jit.clear_cache()
     monkeypatch.setattr(integrator, "_FLUSH_ENV", "pallas")
     got, _ = render_scene(scene, cfg)
@@ -178,7 +199,9 @@ def test_windowed_pallas_flush_matches_scatter_flush(monkeypatch):
     assert abs(got.mean() - ref.mean()) < 2e-4, (got.mean(), ref.mean())
 
 
-def test_adaptive_small_flush_window_matches_scatter_flush(monkeypatch):
+def test_adaptive_small_flush_window_matches_scatter_flush(
+    monkeypatch, flush_ref_128x90
+):
     """ART_TPU_FLUSH_WIN (adaptive small window + exact cond fallback to
     the worst-case window) must reproduce the scatter-flush image.  The
     window is set SMALLER than the typical live band so the fallback
@@ -186,18 +209,10 @@ def test_adaptive_small_flush_window_matches_scatter_flush(monkeypatch):
     small branch is too."""
     import numpy as np
 
-    from art_tpu.models import build_scene
     from art_tpu.render import integrator, renderer
-    from art_tpu.render.renderer import RenderConfig, render_scene
+    from art_tpu.render.renderer import render_scene
 
-    scene = build_scene("three_spheres", 128, 90)
-    cfg = RenderConfig(
-        nx=128, ny=90, spp=32, max_depth=8,
-        max_slots=8192, batch_budget=1 << 30,
-    )
-
-    monkeypatch.setattr(integrator, "_FLUSH_ENV", "aos")
-    ref, _ = render_scene(scene, cfg)
+    scene, cfg, ref = flush_ref_128x90
     renderer._wavefront_jit.clear_cache()
     monkeypatch.setattr(integrator, "_FLUSH_ENV", "pallas")
     monkeypatch.setattr(integrator, "_FLUSH_WIN", 8)

@@ -73,7 +73,7 @@ def _cellbin(tables, o, d, tm, expand):
 
 
 @pytest.mark.parametrize(
-    "aim_frac,expand", [(0.0, False), (0.5, False), (1.0, False), (0.5, True)]
+    "aim_frac,expand", [(0.5, False), (1.0, False), (0.5, True)]
 )
 def test_cellbin_matches_planar(aim_frac, expand, bouncing):
     """All pruning regimes (none aimed / half / all): winner t, mat and
@@ -154,6 +154,47 @@ def test_cellbin_gates():
     )
     assert live == fin.sph_n_tail
     assert all(m0 == m1 for m0, m1, _, _, _ in cells)  # tail is static
+
+
+def test_split_with_cellbin_fallback_matches():
+    """sphere_hit_attrs_split(use_cellbin=True): the over-K fallback
+    becomes the tail-lattice kernel; full-aim rays at R = 2K force that
+    branch."""
+    from art_tpu.ops.compact_sphere import sphere_hit_attrs_split
+
+    fin = build_scene("final_scene", 64, 64).tables
+    R2 = 2 * pk.RAY_BLOCK
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    o = tuple(
+        jax.random.uniform(k, (R2,), jnp.float32, -500.0, 900.0)
+        for k in jax.random.split(ks[0], 3)
+    )
+    x0, y0, z0, x1, y1, z1 = fin.sph_tail_box
+    jit = tuple(
+        jax.random.uniform(k, (R2,), jnp.float32, -0.4, 0.4)
+        for k in jax.random.split(ks[1], 3)
+    )
+    d = (
+        (x0 + x1) / 2 + jit[0] * (x1 - x0) - o[0],
+        (y0 + y1) / 2 + jit[1] * (y1 - y0) - o[1],
+        (z0 + z1) / 2 + jit[2] * (z1 - z0) - o[2],
+    )
+    tm = jax.random.uniform(ks[2], (R2,), jnp.float32)
+    expand = bool(fin.sph_expand)
+    t0, *_ = pk.sphere_hit_attrs_planar(
+        fin.sph_packed, o, d, tm,
+        n_moving=fin.sph_n_moving_pad, n_static=fin.sph_n_static,
+        needs_uv=True, expand=expand,
+        n_tail=fin.sph_n_tail, tail_r=fin.sph_tail_r,
+        tail_mat=fin.sph_tail_mat, pos_r=fin.sph_pos_r,
+        interpret=True,
+    )
+    t1, *_ = sphere_hit_attrs_split(
+        fin, o, d, tm, needs_uv=True, expand=expand,
+        pos_r=fin.sph_pos_r, k=pk.RAY_BLOCK, use_cellbin=True,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
 
 
 def test_tail2d_matches_planar():

@@ -78,13 +78,16 @@ def _skip(tables, o, d, tm, expand):
     )
 
 
-@pytest.mark.parametrize("scene", ["final", "original"])
-@pytest.mark.parametrize("aim_frac", [0.0, 0.05, 0.5, 1.0])
+@pytest.mark.parametrize(
+    "scene,aim_frac", [("final", 0.05), ("final", 1.0), ("original", 0.5)]
+)
 def test_skip_matches_planar(scene, aim_frac, final, original):
-    """All needy regimes (none aimed / few / half / all): winner t, mat
-    and attributes must match the dense kernel on every lane.  Both
-    kernels run the identical candidate expressions on identical rows,
-    so t is bit-exact in interpret mode (selection, not recomputation)."""
+    """Representative needy regimes (few / all aimed on final, half on
+    original — the 0.0/0.05 x 2-scene matrix cost ~10 min of suite wall
+    for the same branch coverage): winner t, mat and attributes must
+    match the dense kernel on every lane.  Both kernels run the
+    identical candidate expressions on identical rows, so t is bit-exact
+    in interpret mode (selection, not recomputation)."""
     tables = {"final": final, "original": original}[scene]
     o, d, tm = _rays(tables, seed=3, aim_frac=aim_frac)
     expand = bool(tables.sph_expand)
