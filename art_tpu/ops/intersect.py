@@ -155,13 +155,15 @@ _NO_SPH_POS_R = bool(os.environ.get("ART_TPU_NO_SPH_POS_R"))
 _COMPACT_SPH = not bool(os.environ.get("ART_TPU_NO_COMPACT_SPH"))
 _COMPACT_SPH_MIN_TAIL = 512
 # Needy-skip binned sphere kernel (pallas_kernels._sphere_skip_kernel):
-# block-level tail-cluster pruning — the 25-55%-needy cluster-facing
-# dispatches blow past the compacted pass's K capacity and used to fall
-# back to the dense 1008-row scan (docs/logs/needy_r3.log); the skip
-# kernel prunes those at (64, 128)-block granularity instead.  Replaces
-# the dense fallback (and the plain dense path when compaction is off);
-# ART_TPU_NO_SPH_SKIP=1 restores the dense scan.
-_NO_SPH_SKIP = bool(os.environ.get("ART_TPU_NO_SPH_SKIP"))
+# block-level tail-cluster pruning via 1-D y-bins.  Measured LOSS r4
+# (docs/logs/queue_r4a.log, final_scene baked-shade pinned off): as the
+# compact over-K fallback 64.98 vs 66.00 dense, standalone 61.69 vs
+# 64.77 dense, and the bin sweep is monotone (1 bin 63.84 / 16 61.69 /
+# 32 48.85) — cluster-FACING blocks cross every y-slab (each slab's
+# entry face is the cluster front), so the whens never skip and only
+# add merge overhead.  Opt-in ART_TPU_SPH_SKIP=1; superseded by the
+# occlusion-bounded 3-D tail lattice (ART_TPU_SPH_CELLBIN below).
+_NO_SPH_SKIP = not bool(os.environ.get("ART_TPU_SPH_SKIP"))
 # Cell-binned sphere kernel (pallas_kernels._sphere_cellbin_kernel):
 # block-level 2-D lattice pruning over the WHOLE sphere set (moving
 # included, per-row materials) for many-small-spheres scenes with no
