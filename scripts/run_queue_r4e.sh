@@ -40,10 +40,6 @@ say "=== cellbin A/B: bouncing (headline) ==="
 run bouncing_spheres 1200 800 500 ART_TPU_SPH_CELLBIN=1
 run bouncing_spheres 1200 800 500 X=1                      # dense control (current default)
 
-say "=== cellbin lattice sweep: bouncing ==="
-run bouncing_spheres 1200 800 500 ART_TPU_SPH_CELLBIN=1 ART_TPU_CELLBIN_GRID=3
-run bouncing_spheres 1200 800 500 ART_TPU_SPH_CELLBIN=1 ART_TPU_CELLBIN_GRID=6
-
 say "=== tail-lattice A/B: final_scene ==="
 # NB: with ART_TPU_SPH_CELLBIN=1 the cellbin branch takes priority over
 # the compact/skip chain, so this is the pure head-dense + tail-lattice
@@ -54,5 +50,9 @@ run original_scene 800 800 500 ART_TPU_SPH_CELLBIN=1 ART_TPU_NO_BAKED_SHADE=1
 say "=== compact + tail-lattice fallback ==="
 run final_scene 800 800 500 ART_TPU_COMPACT_CELLBIN=1 ART_TPU_NO_BAKED_SHADE=1
 run original_scene 800 800 500 ART_TPU_COMPACT_CELLBIN=1 ART_TPU_NO_BAKED_SHADE=1
+
+say "=== cellbin lattice sweep: bouncing (cut-safe) ==="
+run bouncing_spheres 1200 800 500 ART_TPU_SPH_CELLBIN=1 ART_TPU_CELLBIN_GRID=3
+run bouncing_spheres 1200 800 500 ART_TPU_SPH_CELLBIN=1 ART_TPU_CELLBIN_GRID=6
 
 say "ALL DONE"
