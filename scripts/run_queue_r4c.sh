@@ -26,15 +26,16 @@ done
 say "tunnel UP"
 
 say "=== parity brightness-deficit ladder ==="
-yield_wait; flock "$LOCK" python scripts/exp_parity_bias.py 128 512 2048 >> "$LOG" 2>&1
+# Two rungs (was three): each (scene, spp) is a fresh program shape and
+# a ~10-min remote compile; 128 -> 1024 shows the clamped-mean
+# convergence direction just as well as 128 -> 512 -> 2048.
+yield_wait; flock "$LOCK" python scripts/exp_parity_bias.py 128 1024 >> "$LOG" 2>&1
 say "rc=$?"
 
 say "=== sharded overhead, shape-exact warm-up ==="
 yield_wait; flock "$LOCK" python scripts/exp_sharded_tpu.py cornell_smoke 600 600 500 >> "$LOG" 2>&1
 say "rc=$?"
 yield_wait; flock "$LOCK" python scripts/exp_sharded_tpu.py quads 1200 600 500 >> "$LOG" 2>&1
-say "rc=$?"
-yield_wait; flock "$LOCK" python scripts/exp_sharded_tpu.py bouncing_spheres 1200 800 500 >> "$LOG" 2>&1
 say "rc=$?"
 
 run() { # run NAME NX NY SPP [ENV=V ...]
