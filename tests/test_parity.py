@@ -88,10 +88,20 @@ REFERENCE_GATES = [
     # (main.cu:360-400): it is the book's RTNW ch.7 scene — two
     # perlin-marble spheres + the same lights (measured corr 0.9841).
     ("simple_light_book", "simpleLight.png", 96, 48, 0.94, 0.03),
-    ("final_scene", "finalScene.png", 96, 24, 0.96, 0.13),
+    # Round-4 brightness-deficit analysis (docs/logs/parity_bias_r4_cpu
+    # .log): the ~12% darker clamped mean at low spp is firefly-clipping
+    # bias — the UNCLAMPED mean exceeds the golden (0.341/0.383/0.353 vs
+    # 0.299/0.343/0.309 at 128 spp; 6.4% of pixels clip) exactly as the
+    # cornell analysis predicted, so the estimator is unbiased and the
+    # gate tightens to the measured margin (0.9943 corr / 0.1057 md at
+    # this config).
+    ("final_scene", "finalScene.png", 96, 24, 0.98, 0.12),
     ("original_scene", "alfredo2.png", 96, 24, 0.96, 0.06),
-    # XORWOW layout port (core/xorwow.py): measured .9894/.0213 @ 48spp
-    ("bouncing_spheres", "utk.png", 96, 48, 0.95, 0.03),
+    # XORWOW layout port (core/xorwow.py): measured .9894/.0213 @ 48spp.
+    # Its clamped-mean deficit is the same firefly-clipping bias (round-4
+    # ladder: unclamped R 0.148 >= golden 0.1447 while clamped reads
+    # 0.1272; 4.8% clipped px — docs/logs/parity_bias_r4_cpu.log).
+    ("bouncing_spheres", "utk.png", 96, 48, 0.97, 0.03),
 ]
 
 
