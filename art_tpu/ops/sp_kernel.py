@@ -70,8 +70,16 @@ T_MIN = 1e-3
 # A/B switch: force the dielectric refract/Schlick chain back to the
 # dense always-evaluated form (round-3 behavior, measured 322 vs 351
 # staged Mrays/s on three_spheres) instead of the block-skipped
-# @pl.when fix-up that is now the default for dielectric scenes.
+# @pl.when fix-up used under ART_TPU_SP_ELIDE for dielectric scenes.
 _SP_DENSE_DIEL = bool(__import__("os").environ.get("ART_TPU_SP_DENSE_DIEL"))
+# Per-family chain elision (python-False masks compile absent scatter
+# chains away entirely).  Despite a ~9% SMALLER Mosaic payload, the
+# elided quads program measured 205.30 Mrays/s vs 271.61 for the dense
+# round-3 form back-to-back on the same chip (docs/logs/queue_r4g.log
+# vs queue_r4h.log bisect rows) — a Mosaic scheduling effect, not an op
+# -count one.  The dense mtype-plane form is therefore the DEFAULT;
+# ART_TPU_SP_ELIDE=1 re-enables elision for measurement.
+_SP_ELIDE = bool(__import__("os").environ.get("ART_TPU_SP_ELIDE"))
 
 
 def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
@@ -197,16 +205,19 @@ def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
         turb = None
 
     # ---- per-material parameter resolve (immediates by winner id).
-    # Per-family masks accumulate directly (python False when a family
-    # is absent), so unused scatter chains below compile to NOTHING —
-    # the always-built mtype plane hid that from XLA (it cannot prove a
-    # traced compare never fires).  quads/checkered have no metal or
-    # dielectric: their SP programs drop ~60 of ~100 shading ops. ----
+    # Under ART_TPU_SP_ELIDE per-family masks accumulate directly
+    # (python False when a family is absent), so unused scatter chains
+    # below compile to NOTHING.  Default is the dense mtype-plane form:
+    # the elided program, though smaller, measured 24% SLOWER on quads
+    # (see _SP_ELIDE note at the top of this module). ----
     fuzz = zeros
     ref_idx = ones
     texv = (zeros, zeros, zeros)  # lambertian albedo / light emission
     malb = (zeros, zeros, zeros)  # metal albedo
-    is_metal = is_diel = is_light = False
+    if _SP_ELIDE:
+        is_metal = is_diel = is_light = False
+    else:
+        mtype = zeros
 
     def _or(m, sel):
         return sel if m is False else (m | sel)
@@ -214,16 +225,20 @@ def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
     for j, (ty, fz, ri, m_r, m_g, m_b, tk, s_r, s_g, s_b,
             isc, o_r, o_g, o_b) in enumerate(mats):
         sel = best_m == float(j)
+        if not _SP_ELIDE:
+            mtype = jnp.where(sel, float(ty), mtype)
         if ty == 1:  # metal
-            is_metal = _or(is_metal, sel)
+            if _SP_ELIDE:
+                is_metal = _or(is_metal, sel)
             fuzz = jnp.where(sel, fz, fuzz)
             malb = tuple(jnp.where(sel, v, malb[c])
                          for c, v in enumerate((m_r, m_g, m_b)))
         elif ty == 2:  # dielectric
-            is_diel = _or(is_diel, sel)
+            if _SP_ELIDE:
+                is_diel = _or(is_diel, sel)
             ref_idx = jnp.where(sel, ri, ref_idx)
         else:  # lambertian / diffuse_light: texture-backed
-            if ty == 3:
+            if ty == 3 and _SP_ELIDE:
                 is_light = _or(is_light, sel)
             if tk == 1:  # checker (src/texture.cuh:35-42)
                 xi = jnp.floor(isc * p[0]).astype(jnp.int32)
@@ -239,6 +254,11 @@ def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
             else:
                 tv = (s_r, s_g, s_b)
             texv = tuple(jnp.where(sel, tv[c], texv[c]) for c in range(3))
+
+    if not _SP_ELIDE:
+        is_metal = mtype == 1.0
+        is_diel = mtype == 2.0
+        is_light = mtype == 3.0
 
     def sel3(mask, a_val, b_val):
         return b_val if mask is False else jnp.where(mask, a_val, b_val)
@@ -266,6 +286,7 @@ def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
 
     # ---- metal (src/material.cuh:90-110) ----
     metal_alive = True
+    mdir = None
     if is_metal is not False:
         udn = ud[0] * n[0] + ud[1] * n[1] + ud[2] * n[2]
         refl = (ud[0] - 2.0 * udn * n[0], ud[1] - 2.0 * udn * n[1],
@@ -275,8 +296,9 @@ def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
         metal_alive = (
             mdir[0] * n[0] + mdir[1] * n[1] + mdir[2] * n[2]
         ) > 0.0
-        direction = tuple(jnp.where(is_metal, mdir[c], direction[c])
-                          for c in range(3))
+        if _SP_ELIDE:
+            direction = tuple(jnp.where(is_metal, mdir[c], direction[c])
+                              for c in range(3))
 
     def _diel_dir():
         # ---- dielectric (src/material.cuh:113-159, book-1 form) ----
@@ -311,7 +333,7 @@ def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
                      for c in range(3))
 
     diel_fixup = None
-    if is_diel is not False and not _SP_DENSE_DIEL:
+    if _SP_ELIDE and is_diel is not False and not _SP_DENSE_DIEL:
         # Block-skipped dielectric (VERDICT r3 Weak #4): the base path
         # treats dielectric winners as lambertian-direction survivors
         # with attenuation 1 (their thr/o/rad/death outputs are already
@@ -327,10 +349,19 @@ def _sp_bounce(consts, gradient: bool, max_depth: int, bg_ref, vals,
                 dxo_ref[:] = jnp.where(fix_mask, ddir[0], dxo_ref[:])
                 dyo_ref[:] = jnp.where(fix_mask, ddir[1], dyo_ref[:])
                 dzo_ref[:] = jnp.where(fix_mask, ddir[2], dzo_ref[:])
-    elif is_diel is not False:
+    elif _SP_ELIDE and is_diel is not False:
         ddir = _diel_dir()
         direction = tuple(jnp.where(is_diel, ddir[c], direction[c])
                           for c in range(3))
+    elif not _SP_ELIDE:
+        # Dense default: the round-3 single nested end-blend, kept
+        # byte-faithful to the measured-fast form.
+        ddir = _diel_dir()
+        direction = tuple(
+            jnp.where(is_diel, ddir[c],
+                      jnp.where(is_metal, mdir[c], direction[c]))
+            for c in range(3)
+        )
 
     # ---- blend by tag + integrate (src/main.cu:71-83) ----
     atten = tuple(
