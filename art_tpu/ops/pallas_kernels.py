@@ -1468,7 +1468,12 @@ def pack_cellbin_spheres(sph_packed, n_moving_pad: int, n_static: int,
     cell_of = i0 * gz + i1
 
     U = _CELLBIN_UNROLL
+    # The head must end on a U-aligned row: the kernel's cell loops run
+    # fori(m0//U, m1//U) and a head padded only to lcm(32, SPH_UNROLL)
+    # would misalign every cell range for non-divisor U values (silently
+    # dropping rows at segment ends).
     pad_head = 32 * _SPH_UNROLL // math.gcd(32, _SPH_UNROLL)
+    pad_head = pad_head * U // math.gcd(pad_head, U)
 
     def pad_rows(rr, pad):
         if not len(rr):
@@ -1529,7 +1534,9 @@ def pack_tail2d_spheres(sph_packed, n_moving_pad: int, n_static: int,
     import numpy as np
 
     pk = np.asarray(sph_packed)
+    # U-align the head end for non-divisor unrolls (see pack_cellbin).
     pad = 32 * _SPH_UNROLL // math.gcd(32, _SPH_UNROLL)
+    pad = pad * _CELLBIN_UNROLL // math.gcd(pad, _CELLBIN_UNROLL)
     mov = pk[:n_moving_pad]
     n_main_real = n_static - n_tail
     main = pk[n_moving_pad : n_moving_pad + n_main_real]

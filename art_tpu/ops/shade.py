@@ -48,7 +48,7 @@ def _ball_from_uniforms_p(u0, u1, u2):
     return (r * s * jnp.cos(phi), r * s * jnp.sin(phi), r * z)
 
 
-def shade_params_p(tables: SceneTables, rec: HitRecordP):
+def shade_params_p(tables: SceneTables, rec: HitRecordP, valid=None):
     """Per-ray material/texture parameter fetch shared by shade_p and the
     fused shade kernel (ops/shade_kernel.py): one packed MXU fetch for all
     material parameters (ops/gather.py layout
@@ -62,7 +62,9 @@ def shade_params_p(tables: SceneTables, rec: HitRecordP):
 
     mrow = take_rows(tables.mat_packed, rec.mat)
     tex_id = mrow[:, 1].astype(jnp.int32)
-    tex_val = eval_texture_p(tables, tex_id, rec.u, rec.v, rec.p)
+    tex_val = eval_texture_p(
+        tables, tex_id, rec.u, rec.v, rec.p, valid=valid
+    )
     return (mrow[:, 0], mrow[:, 2], mrow[:, 3],
             (mrow[:, 4], mrow[:, 5], mrow[:, 6]), tex_val)
 
@@ -73,9 +75,12 @@ def shade_p(
     rec: HitRecordP,
     u_ball,  # 3-tuple of (R,) uniforms
     u_choice: jnp.ndarray,  # (R,)
+    valid=None,  # (R,) bool: lanes whose shade output is consumed
+    #             (dead/miss lanes may receive zero texels — the
+    #             compacted image fetch skips them)
 ) -> ScatterResultP:
     mtype_f, fuzz, ref_idx, metal_albedo, tex_val = shade_params_p(
-        tables, rec
+        tables, rec, valid=valid
     )
     mtype = mtype_f.astype(jnp.int32)
     n = rec.normal

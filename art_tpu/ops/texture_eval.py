@@ -36,6 +36,11 @@ _DBG = __import__("os").environ.get("ART_TPU_DBG", "")
 _NO_TURB_KERNEL = bool(__import__("os").environ.get("ART_TPU_NO_TURB_KERNEL"))
 _NO_COMPACT_FETCH = bool(__import__("os").environ.get("ART_TPU_NO_COMPACT_FETCH"))
 _COMPACT_TURB = bool(__import__("os").environ.get("ART_TPU_COMPACT_TURB"))
+# Per-iteration image-fetch needy histogram (debug only, extra callback
+# in the while loop): sizes the compacted-fetch capacity against the
+# real lane population the way ART_TPU_STATS_NEEDY does for the tail
+# cluster.  Fraction = (lanes whose hit is image-textured) / R.
+_STATS_FETCH = bool(__import__("os").environ.get("ART_TPU_STATS_FETCH"))
 
 
 def _turb(px, py, pz, depth: int, depth_mask=None):
@@ -66,6 +71,12 @@ def eval_texture_p(
     u: jnp.ndarray,  # (R,)
     v: jnp.ndarray,  # (R,)
     p,  # 3-tuple of (R,) planes
+    valid=None,  # (R,) bool: lanes whose value is consumed downstream.
+    #             Dead/miss lanes carry a stale winner material whose
+    #             texture row still reads as image-typed, so ungated the
+    #             compacted fetch sees needy == R on single-material
+    #             image scenes (earth) and always falls dense.  Gated
+    #             lanes outside ``valid`` may return 0 on the image leaf.
 ):
     """Returns a 3-tuple of (R,) color planes."""
     from art_tpu.ops.gather import take_rows
@@ -114,6 +125,17 @@ def eval_texture_p(
 
     if TexType.IMAGE in present:
         img_id = row[:, 11].astype(jnp.int32)
+        is_img = ttype == TexType.IMAGE
+        if valid is not None:
+            is_img = is_img & valid
+        if _STATS_FETCH and ttype.ndim == 1:
+            import jax
+
+            def _log_needy(n, r):
+                print(f"[stats_fetch] needy {int(n)} / {int(r)} "
+                      f"({int(n) / max(int(r), 1):.3f})", flush=True)
+
+            jax.debug.callback(_log_needy, jnp.sum(is_img), ttype.shape[0])
         if "fake_image" in _DBG:  # perf-debug: dependency-preserving stub
             s = img_id.astype(jnp.float32) + u + v
             img_val = jnp.stack([s, s * 0.5, s * 0.25], axis=-1)
@@ -128,7 +150,7 @@ def eval_texture_p(
             )
             img_val = tables.atlas.sample(
                 img_id, u, v,
-                needy=(ttype == TexType.IMAGE) if use_compact else None,
+                needy=is_img if use_compact else None,
             )
         out = p_where(
             ttype == TexType.IMAGE,
@@ -221,6 +243,7 @@ def eval_special_p(
     u: jnp.ndarray,  # (R,)
     v: jnp.ndarray,  # (R,)
     p,  # 3-tuple of (R,) planes
+    valid=None,  # (R,) bool consumed-lane gate (see eval_texture_p)
 ):
     """Leaf colors for the baked shade kernel's SPECIAL materials only.
 
@@ -246,6 +269,16 @@ def eval_special_p(
     imgs = [s for s in specials if s[1] == "image"]
     if imgs:
         needy = mask_of([s[0] for s in imgs])
+        if valid is not None:
+            needy = needy & valid
+        if _STATS_FETCH and needy.ndim == 1:
+            import jax
+
+            def _log_needy(n, r):
+                print(f"[stats_fetch] needy {int(n)} / {int(r)} "
+                      f"({int(n) / max(int(r), 1):.3f})", flush=True)
+
+            jax.debug.callback(_log_needy, jnp.sum(needy), needy.shape[0])
         img_id = jnp.zeros_like(mat)
         uu, vv = u, v
         for mid, _, gid, du, dv in imgs:

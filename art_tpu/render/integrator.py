@@ -205,7 +205,7 @@ def _bounce_step(tables, o, d, tm, throughput, radiance, active,
             scattered=rec.hit & (u_choice < 0.7),
         )
     else:
-        sc = shade_p(tables, d, rec, u_ball, u_choice)
+        sc = shade_p(tables, d, rec, u_ball, u_choice, valid=live_hit)
 
     radiance = tuple(
         radiance[c] + jnp.where(live_hit, throughput[c] * sc.emitted[c], 0.0)
@@ -671,11 +671,12 @@ def render_wavefront(
                         sp = eval_special_p(
                             tables, shade_consts[1], rec.mat,
                             rec.u, rec.v, rec.p,
+                            valid=rec.hit & active,
                         )
                         rec_pl.update(sp0=sp[0], sp1=sp[1], sp2=sp[2])
                 else:
                     mtype_f, fuzz_pl, refidx_pl, malb_pl, texv_pl = (
-                        shade_params_p(tables, rec)
+                        shade_params_p(tables, rec, valid=rec.hit & active)
                     )
                     rec_pl = dict(
                         rec_common,

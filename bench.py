@@ -47,6 +47,14 @@ SWEEP = [
     # path at defaults, so a regression in that kernel or its builder
     # gate moves a driver-captured artifact (VERDICT r3 Weak #5).
     ("quads", 1200, 600, 500, 45.0),
+    # The two remaining below-bar scenes (VERDICT r4 item 7): earth is
+    # image-fetch-bound, original_scene exercises cluster + image fetch
+    # + noodle turbulence together.  Time-budgeted like the rest so the
+    # driver bench regression-tracks them every round.
+    ("earth", 1200, 600, 500, 45.0),
+    # spp=500 matches the cached A/B-queue program (plan_batches keys
+    # the compiled shape on spp — a novel spp would recompile for min).
+    ("original_scene", 800, 800, 500, 75.0),
 ]
 
 

@@ -159,7 +159,7 @@ def flush_ref_128x90():
     import numpy as np
 
     from art_tpu.models import build_scene
-    from art_tpu.render import integrator
+    from art_tpu.render import integrator, renderer
     from art_tpu.render.renderer import RenderConfig, render_scene
 
     # P=11520 px -> n_hi 96 > window rows R*max_depth/(spp*128) = 16:
@@ -171,6 +171,10 @@ def flush_ref_128x90():
     )
     saved = integrator._FLUSH_ENV
     integrator._FLUSH_ENV = "aos"
+    # A cached executable traced earlier under a different _FLUSH_ENV for
+    # these shapes would silently make the shared reference non-scatter
+    # (the flush mode is not part of the jit cache key).
+    renderer._wavefront_jit.clear_cache()
     try:
         ref, _ = render_scene(scene, cfg)
     finally:
