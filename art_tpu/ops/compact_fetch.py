@@ -55,6 +55,16 @@ from art_tpu.ops.flush_kernel import RAY_BLOCK, flush_accumulate
 # population stays well under 8k.
 FETCH_K = int(os.environ.get("ART_TPU_FETCH_K", "8192"))
 
+# Wide-tier capacity for image-dense scenes (earth: ~31% of lanes hit an
+# image-textured surface every iteration once the needy mask is gated by
+# rec.hit — far above FETCH_K but far below R).  The wide tier replaces
+# the serial K-scatter route-back with the one-hot MXU table gather
+# (ops/flush_kernel.table_gather_u24), so its cost is
+# flush_accumulate(K2) ~0.1 ms + K2-element texel gather + MXU gather
+# ~0.1 ms instead of the R-element dense gather (~0.93 ms at R=2^17).
+# 0 disables the tier.
+WFETCH_K = int(os.environ.get("ART_TPU_WFETCH_K", "49152"))
+
 
 def _bytes3(x: jnp.ndarray):
     """Split a non-negative int32 (< 2^24) into three bf16-exact bytes."""
@@ -81,11 +91,14 @@ def compact_gather(
     needy: jnp.ndarray,  # (R,) bool — lanes that actually want a texel
     *,
     k: int = 0,  # compacted capacity (0 = FETCH_K)
+    max_value_bits: int = 32,  # static bound on data's values; <= 24
+    #                            additionally enables the wide tier
     interpret: bool = False,
 ) -> jnp.ndarray:
     """data[flat_idx] on needy lanes, 0 elsewhere — via adaptive compaction.
 
-    Exact: compact and dense branches agree bit-for-bit on needy lanes.
+    Exact: compact, wide and dense branches agree bit-for-bit on needy
+    lanes.
     """
     R = flat_idx.shape[0]
     K = k or FETCH_K
@@ -126,7 +139,48 @@ def compact_gather(
             jnp.zeros((R,), data.dtype).at[ray_k].set(texel_k, mode="drop")
         )
 
-    return jax.lax.cond(cnt <= K, compact, dense, None)
+    def wide(_):
+        # Wide tier (K < cnt <= K2): same one-hot compaction at K2 slots
+        # but payload = texel index only; the route-back reads
+        # texels[rank[i]] through the MXU table gather instead of a
+        # serial K2-update scatter.  Exact on needy lanes (every step is
+        # integer-exact, see table_gather_u24), zeros elsewhere.
+        from art_tpu.ops.flush_kernel import table_gather_u24
+
+        needy_i = needy.astype(jnp.int32)
+        rank = jnp.cumsum(needy_i) - needy_i  # exclusive
+        fb0 = jnp.zeros((K2 // 128, 3 * 128), jnp.float32)
+        slots = flush_accumulate(
+            rank, needy, _bytes3(flat_idx), fb0, interpret=interpret
+        )
+        ch = slots.reshape(K2 // 128, 3, 128)
+        ch = jnp.moveaxis(ch, 1, 0).reshape(3, K2)
+        flat_k = _unbytes3(ch[0], ch[1], ch[2])
+        texel_k = data[jnp.clip(flat_k, 0, data.shape[0] - 1)].astype(
+            jnp.int32
+        )
+        # zero empty slots: non-needy lanes may carry rank == cnt
+        texel_k = jnp.where(
+            jnp.arange(K2, dtype=jnp.int32) < cnt, texel_k, 0
+        )
+        out = table_gather_u24(texel_k, rank, interpret=interpret)
+        return jnp.where(needy, out, 0).astype(data.dtype)
+
+    K2 = WFETCH_K
+    wide_ok = (
+        K < K2 < R
+        and K2 % 128 == 0
+        and jnp.issubdtype(data.dtype, jnp.integer)
+        # table_gather_u24 byte-splits texels: 24-bit packed RGB only
+        # (ImageAtlas packs R|G<<8|B<<16, utils/images.py)
+        and max_value_bits <= 24
+    )
+    over = (
+        (lambda a: jax.lax.cond(cnt <= K2, wide, dense, a))
+        if wide_ok
+        else dense
+    )
+    return jax.lax.cond(cnt <= K, compact, over, None)
 
 
 def compact_ray_ids(

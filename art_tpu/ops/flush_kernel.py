@@ -114,6 +114,85 @@ def one_hot_accumulate(hi, lo, rads, out_ref, oh_s, w_s,
         )
 
 
+def _table_gather_kernel(idx_ref, tab_ref, out_ref, rowsel_s, *, n_rows):
+    """out[r, l] = u24 value of tab row hi, column-block byte lanes lo.
+
+    Per lane-row: one-hot row select on the MXU ((n_rows, 384) x
+    (n_rows, LANES) contraction over rows), then a VPU lane-column
+    select + byte recombine.  Exactness: table bytes <= 255 are bf16-
+    exact, the one-hot is 0/1, the f32 accumulation sums exactly one
+    nonzero term per output, and the u24 recombine stays < 2^24 (f32-
+    exact).  Out-of-range indices match no one-hot row -> 0."""
+    idx = idx_ref[:]
+    hi = jax.lax.shift_right_logical(idx, 7)
+    lo = jax.lax.bitwise_and(idx, 127)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, _LANES), 0)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+    for r in range(_SUBLANES):
+        hrow = hi[r : r + 1, :]  # (1, LANES)
+        lrow = lo[r : r + 1, :]
+        oh = (hrow == hi_iota).astype(jnp.bfloat16)  # (n_rows, LANES)
+        rowsel_s[:, :] = jax.lax.dot_general(
+            tab_ref[:, :], oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3*LANES, LANES): [c*128+w, lane] = tab[hi[lane], c*128+w]
+        lmask = (lrow == lo_iota).astype(jnp.float32)  # [w, lane]
+        b0 = jnp.sum(rowsel_s[0:_LANES, :] * lmask, axis=0)
+        b1 = jnp.sum(rowsel_s[_LANES : 2 * _LANES, :] * lmask, axis=0)
+        b2 = jnp.sum(rowsel_s[2 * _LANES : 3 * _LANES, :] * lmask, axis=0)
+        out_ref[r, :] = b0 + 256.0 * b1 + 65536.0 * b2
+
+
+def table_gather_u24(
+    table: jnp.ndarray,  # (T,) integer table, values < 2^24
+    idx: jnp.ndarray,  # (R,) int32; out-of-range indices return 0
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``table[idx]`` as an in-VMEM one-hot MXU gather -> (R,) int32.
+
+    XLA lowers a random (R,) gather to a ~7-cycle/element scalar loop
+    regardless of table size (docs/PERF_NOTES.md "hardware floor"); this
+    kernel's cost is MXU work ~ R*T MACs instead, which wins for small
+    tables (T <= ~64k at R = 2^17: ~0.1 ms vs 0.93 ms serial).  Powers
+    the wide-tier compacted image fetch's route-back
+    (ops/compact_fetch.py): out[i] = texel_slots[rank[i]]."""
+    T = table.shape[0]
+    R = idx.shape[0]
+    assert T % _LANES == 0 and R % RAY_BLOCK == 0, (T, R)
+    n_rows = T // _LANES
+    t = table.astype(jnp.int32)
+    tab_b = jnp.concatenate(
+        [
+            (t & 0xFF).reshape(n_rows, _LANES),
+            ((t >> 8) & 0xFF).reshape(n_rows, _LANES),
+            ((t >> 16) & 0xFF).reshape(n_rows, _LANES),
+        ],
+        axis=1,
+    ).astype(jnp.bfloat16)
+    rows = R // _LANES
+    ray_spec = pl.BlockSpec(
+        (_SUBLANES, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    tab_spec = pl.BlockSpec(
+        (n_rows, 3 * _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_table_gather_kernel, n_rows=n_rows),
+        grid=(rows // _SUBLANES,),
+        in_specs=[ray_spec, tab_spec],
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3 * _LANES, _LANES), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(idx.reshape(rows, _LANES), tab_b)
+    return out.reshape(R).astype(jnp.int32)
+
+
 def flush_accumulate(
     pix: jnp.ndarray,  # (R,) int32 framebuffer row of each slot
     died: jnp.ndarray,  # (R,) bool — flush these slots' radiance

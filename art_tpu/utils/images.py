@@ -116,7 +116,12 @@ class ImageAtlas:
         if needy is not None:
             from art_tpu.ops.compact_fetch import compact_gather
 
-            px = compact_gather(self.data, flat, needy, interpret=interpret)
+            # max_value_bits=24: texels are packed R|G<<8|B<<16 (pack()),
+            # which additionally qualifies the wide compaction tier.
+            px = compact_gather(
+                self.data, flat, needy, max_value_bits=24,
+                interpret=interpret,
+            )
         else:
             px = self.data[flat]
         scale = jnp.float32(1.0 / 255.0)

@@ -202,3 +202,80 @@ def test_compact_turb_noodle_matches_dense(monkeypatch):
         np.testing.assert_allclose(
             d[is_noodle], g[is_noodle], rtol=1e-4, atol=1e-5
         )
+
+
+def test_wide_tier_matches_dense(monkeypatch):
+    """K < cnt <= K2 takes the wide tier (MXU table-gather route-back):
+    bit-equal to dense on needy lanes, zero elsewhere."""
+    import art_tpu.ops.compact_fetch as cf
+
+    monkeypatch.setattr(cf, "WFETCH_K", 1024)
+    data, flat, needy = _mk(0.05)  # cnt ~410 between k=128 and K2=1024
+    data = data & jnp.uint32(0xFFFFFF)  # u24 packed-RGB contract
+    cnt = int(jnp.sum(needy))
+    assert 128 < cnt <= 1024
+    got = compact_gather(
+        data, flat, needy, k=128, max_value_bits=24, interpret=True
+    )
+    want = jnp.where(needy, data[flat], 0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_wide_tier_cnt_exactly_k2(monkeypatch):
+    """cnt == K2 exactly still takes (and fills) the wide tier; the
+    trailing non-needy lanes carry rank == cnt == K2, which must match
+    no one-hot row (not wrap into slot 0)."""
+    import art_tpu.ops.compact_fetch as cf
+
+    monkeypatch.setattr(cf, "WFETCH_K", 256)
+    needy = jnp.zeros((R,), bool).at[jnp.arange(0, R, R // 256)].set(True)
+    assert int(needy.sum()) == 256
+    flat = jnp.arange(R, dtype=jnp.int32) % T
+    data = (jnp.arange(T, dtype=jnp.uint32) * jnp.uint32(77)) & jnp.uint32(
+        0xFFFFFF
+    )
+    got = compact_gather(
+        data, flat, needy, k=128, max_value_bits=24, interpret=True
+    )
+    want = jnp.where(needy, data[flat], 0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_wide_tier_overflow_falls_dense(monkeypatch):
+    import art_tpu.ops.compact_fetch as cf
+
+    monkeypatch.setattr(cf, "WFETCH_K", 256)
+    data, flat, needy = _mk(0.2)  # cnt ~1640 > K2
+    data = data & jnp.uint32(0xFFFFFF)
+    got = compact_gather(
+        data, flat, needy, k=128, max_value_bits=24, interpret=True
+    )
+    want = jnp.where(needy, data[flat], 0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_wide_tier_gated_off_for_wide_values(monkeypatch):
+    """max_value_bits > 24 (full-u32 data) must not enter the byte-split
+    wide tier: values above 2^24 would corrupt.  Dense fallback stays
+    exact."""
+    import art_tpu.ops.compact_fetch as cf
+
+    monkeypatch.setattr(cf, "WFETCH_K", 1024)
+    data, flat, needy = _mk(0.05)  # full-u32 texels
+    got = compact_gather(data, flat, needy, k=128, interpret=True)
+    want = jnp.where(needy, data[flat], 0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_table_gather_u24_exact():
+    from art_tpu.ops.flush_kernel import table_gather_u24
+
+    k0, k1 = jax.random.split(jax.random.PRNGKey(9))
+    tab = jax.random.randint(k0, (512,), 0, 1 << 24, jnp.int32)
+    idx = jax.random.randint(k1, (R,), 0, 512, jnp.int32)
+    got = table_gather_u24(tab, idx, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(tab)[np.asarray(idx)])
+    # out-of-range indices (== T) return 0, not a wrapped row
+    idx2 = jnp.full((R,), 512, jnp.int32)
+    got2 = table_gather_u24(tab, idx2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got2), np.zeros(R, np.int32))

@@ -539,3 +539,26 @@ def test_full_wavefront_step_lowers_shade_kernel(scene_name, monkeypatch):
         spp=50, tile_pixels=32768, total_pixels=256 * 128, nx=256, ny=128,
         max_depth=8, gradient_bg=scene.gradient_bg, n_slots=RB,
     ).lower(lowering_platforms=("tpu",))
+
+
+def test_table_gather_u24_lowers():
+    """Wide-tier route-back kernel (ops/flush_kernel.table_gather_u24)."""
+    from art_tpu.ops.flush_kernel import table_gather_u24
+
+    tab = jnp.zeros((49152,), jnp.int32)
+    idx = jnp.zeros((2 * RB,), jnp.int32)
+    _lower_tpu(lambda t, i: table_gather_u24(t, i), tab, idx)
+
+
+def test_wide_compact_gather_lowers():
+    """All three tiers of the adaptive image fetch, production shapes
+    (earth: R = 2^17, atlas 2^19, K2 = 49152)."""
+    from art_tpu.ops.compact_fetch import compact_gather
+
+    data = jnp.zeros((1 << 19,), jnp.uint32)
+    flat = jnp.zeros((1 << 17,), jnp.int32)
+    needy = jnp.zeros((1 << 17,), bool)
+    _lower_tpu(
+        lambda d, f, n: compact_gather(d, f, n, max_value_bits=24),
+        data, flat, needy,
+    )
