@@ -65,8 +65,11 @@ def format_ppm(fb: np.ndarray, clamp: bool = False) -> str:
     vals = fb * 255.99
     if clamp:
         vals = np.clip(vals, 0.0, 255.0)
-    # int() in C++ truncates toward zero.
-    ints = np.ascontiguousarray(np.trunc(vals).astype(np.int64))
+    # int() in C++ truncates toward zero.  NaN pixels cast to INT64_MIN
+    # (matching C++ UB-in-practice); silence numpy's RuntimeWarning for
+    # that cast — the sizing below already handles the value.
+    with np.errstate(invalid="ignore"):
+        ints = np.ascontiguousarray(np.trunc(vals).astype(np.int64))
     header = f"P3\n{nx} {ny}\n255\n"
 
     lib = _load_native()
