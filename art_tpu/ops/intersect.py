@@ -853,6 +853,19 @@ def apply_media_p(
     best_t = surf.t
     best_med = jnp.full((R,), -1, jnp.int32)
 
+    # Static per-medium unroll: every reference scene has <= 2 media
+    # (src/main.cu cornell_smoke/final), so a Python loop traces a small
+    # fixed chain.  A many-media scene would bloat the program linearly —
+    # surface that at build time instead of compiling for minutes.
+    if tables.n_media > 8:
+        import warnings
+
+        warnings.warn(
+            f"apply_media_p unrolls per medium: {tables.n_media} media "
+            "will trace a very large program (reference scenes use <= 2); "
+            "consider a table-driven media pass",
+            stacklevel=2,
+        )
     for m in range(tables.n_media):
         kind = tables.med_kinds[m]  # static per scene build
         if kind == 0:
