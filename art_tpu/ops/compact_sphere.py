@@ -70,6 +70,14 @@ def tail_box_needy(box, o, d, t_min: float) -> jnp.ndarray:
     outside origin yields a one-sided huge interval — both err toward
     needy, never away (the box kernels' _safe_div_dir rationale,
     ops/intersect.py)."""
+    ok, _ = tail_box_interval(box, o, d, t_min)
+    return ok
+
+
+def tail_box_interval(box, o, d, t_min: float):
+    """((R,) bool could-hit, (R,) conservative entry t) for the inflated
+    tail AABB — the entry value lets callers occlusion-gate needy against
+    an already-known closer hit (any tail-sphere hit has t >= entry)."""
     x0, y0, z0, x1, y1, z1 = box
     t_near = jnp.full(o[0].shape, t_min, jnp.float32)
     t_far = jnp.full(o[0].shape, BIG, jnp.float32)
@@ -81,7 +89,7 @@ def tail_box_needy(box, o, d, t_min: float) -> jnp.ndarray:
         tb = (hi - oc) * inv
         t_near = jnp.maximum(t_near, jnp.minimum(ta, tb))
         t_far = jnp.minimum(t_far, jnp.maximum(ta, tb))
-    return t_far >= t_near
+    return t_far >= t_near, t_near
 
 
 def sphere_hit_attrs_split(
@@ -94,6 +102,8 @@ def sphere_hit_attrs_split(
     expand: bool,
     pos_r: bool,
     k: int = 0,  # compacted capacity (0 = SPH_K)
+    occ_t: jnp.ndarray | None = None,  # (R,) closest OTHER-primitive hit:
+    #        rays whose cluster entry lies beyond it are exact to skip
     use_skip: bool = False,  # block-pruned skip kernel as the fallback
     use_cellbin: bool = False,  # 3-D tail-lattice kernel as the fallback
     interpret: bool = False,
@@ -120,7 +130,15 @@ def sphere_hit_attrs_split(
         expand=expand, pos_r=pos_r, needs_uv=False, interpret=interpret
     )
 
-    needy = tail_box_needy(tables.sph_tail_box, o, d, 1e-3)
+    needy, t_entry = tail_box_interval(tables.sph_tail_box, o, d, 1e-3)
+    if occ_t is not None:
+        # Occlusion gate (r5): a tail-sphere hit is >= the cluster entry,
+        # so a ray already holding a closer quad/box hit cannot improve
+        # through the tail — dropping it never changes the closest-t
+        # merge.  Cluster-facing dispatches' needy population drops from
+        # 25-55% toward the truly-reachable set, flipping more of them
+        # onto the compact branch.
+        needy = needy & (t_entry <= occ_t)
     cnt = jnp.sum(needy.astype(jnp.int32))
 
     def dense(_):

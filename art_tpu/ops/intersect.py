@@ -529,6 +529,70 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
     if use_pallas:
         from art_tpu.ops import pallas_kernels as pk
 
+    if tables.n_quads:
+        if "fake_quads" in _DBG:
+            t_q, *_ = _fake_candidates(o, d, time)
+        elif use_pallas:
+            t_q, idx_q = pk.quad_closest_hit_planar(
+                tables.quad_packed, o, d, n_quads=tables.n_quads
+            )
+            idx_q = jnp.maximum(idx_q, 0)
+        else:
+            t_q, idx_q = quad_candidates_p(tables, o, d, t_min)
+        better = t_q < t_best
+        t_best = jnp.where(better, t_q, t_best)
+        winner = jnp.where(better, 1, winner)
+    box_attrs = None
+    if tables.n_boxes and "fake_boxes" in _DBG:
+        t_b, n_b, u_b, v_b, m_b = _fake_candidates(o, d, time)
+        box_attrs = (n_b, u_b, v_b, m_b)
+        better = t_b < t_best
+        t_best = jnp.where(better, t_b, t_best)
+        winner = jnp.where(better, 2, winner)
+    elif tables.n_boxes:
+        if use_pallas:
+            if tables.n_box_clusters and not _no_cluster():
+                t_b, n_b, u_b, v_b, m_b = pk.box_hit_attrs_clustered(
+                    tables.box_cl_packed, tables.box_cl_box, o, d,
+                    n_clusters=tables.n_box_clusters,
+                    rotated=tables.has_rotated_boxes,
+                )
+            elif tables.box_grid_kx and not _NO_GRID_BOXES:
+                if tables.box_grid_cells is not None and not _NO_GRID_STATIC:
+                    t_b, n_b, u_b, v_b, m_b = pk.box_grid_static_hit_attrs(
+                        o, d, cells=tables.box_grid_cells,
+                        kx=tables.box_grid_kx, kz=tables.box_grid_kz,
+                        x0=tables.box_grid_x0, z0=tables.box_grid_z0,
+                        w=tables.box_grid_w, y0=tables.box_grid_y0,
+                        uniform_mat=tables.box_grid_mat,
+                    )
+                else:
+                    t_b, n_b, u_b, v_b, m_b = pk.box_grid_hit_attrs(
+                        tables.box_grid, o, d,
+                        kx=tables.box_grid_kx, kz=tables.box_grid_kz,
+                        x0=tables.box_grid_x0, z0=tables.box_grid_z0,
+                        w=tables.box_grid_w, y0=tables.box_grid_y0,
+                        uniform_mat=tables.box_grid_mat,
+                    )
+            else:
+                t_b, n_b, u_b, v_b, m_b = pk.box_hit_attrs_planar(
+                    tables.box_packed, o, d,
+                    n_boxes=tables.n_boxes, rotated=tables.has_rotated_boxes,
+                )
+            box_attrs = (n_b, u_b, v_b, m_b)
+        else:
+            t_b, idx_b = box_candidates_p(tables, o, d, t_min)
+        better = t_b < t_best
+        t_best = jnp.where(better, t_b, t_best)
+        winner = jnp.where(better, 2, winner)
+
+    # Spheres intersect LAST so the compacted tail pass can occlusion-
+    # gate its needy predicate with the quad/box winner t: a tail-
+    # cluster hit at t >= cluster-entry > occ_t always loses the
+    # closest-t merge, so gated-out rays are exact to skip.  (Merge
+    # order is argmin-commutative; quad-before-box tie precedence —
+    # coplanar Cornell floor/box faces — is preserved.)
+    occ_t = t_best
     if tables.n_spheres and "fake_spheres" in _DBG:
         t_s, n_s, u_s, v_s, m_s = _fake_candidates(o, d, time)
         sph_attrs = (n_s, u_s, v_s, m_s)
@@ -606,6 +670,7 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                     t_s, n_s, u_s, v_s, m_s = sphere_hit_attrs_split(
                         tables, o, d, time,
                         needs_uv=needs_uv, expand=expand, pos_r=pos_r,
+                        occ_t=occ_t,
                         use_skip=use_skip,
                         use_cellbin=(
                             _COMPACT_CELLBIN
@@ -639,63 +704,6 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
         better = t_s < t_best
         t_best = jnp.where(better, t_s, t_best)
         winner = jnp.where(better, 0, winner)
-    if tables.n_quads:
-        if "fake_quads" in _DBG:
-            t_q, *_ = _fake_candidates(o, d, time)
-        elif use_pallas:
-            t_q, idx_q = pk.quad_closest_hit_planar(
-                tables.quad_packed, o, d, n_quads=tables.n_quads
-            )
-            idx_q = jnp.maximum(idx_q, 0)
-        else:
-            t_q, idx_q = quad_candidates_p(tables, o, d, t_min)
-        better = t_q < t_best
-        t_best = jnp.where(better, t_q, t_best)
-        winner = jnp.where(better, 1, winner)
-    box_attrs = None
-    if tables.n_boxes and "fake_boxes" in _DBG:
-        t_b, n_b, u_b, v_b, m_b = _fake_candidates(o, d, time)
-        box_attrs = (n_b, u_b, v_b, m_b)
-        better = t_b < t_best
-        t_best = jnp.where(better, t_b, t_best)
-        winner = jnp.where(better, 2, winner)
-    elif tables.n_boxes:
-        if use_pallas:
-            if tables.n_box_clusters and not _no_cluster():
-                t_b, n_b, u_b, v_b, m_b = pk.box_hit_attrs_clustered(
-                    tables.box_cl_packed, tables.box_cl_box, o, d,
-                    n_clusters=tables.n_box_clusters,
-                    rotated=tables.has_rotated_boxes,
-                )
-            elif tables.box_grid_kx and not _NO_GRID_BOXES:
-                if tables.box_grid_cells is not None and not _NO_GRID_STATIC:
-                    t_b, n_b, u_b, v_b, m_b = pk.box_grid_static_hit_attrs(
-                        o, d, cells=tables.box_grid_cells,
-                        kx=tables.box_grid_kx, kz=tables.box_grid_kz,
-                        x0=tables.box_grid_x0, z0=tables.box_grid_z0,
-                        w=tables.box_grid_w, y0=tables.box_grid_y0,
-                        uniform_mat=tables.box_grid_mat,
-                    )
-                else:
-                    t_b, n_b, u_b, v_b, m_b = pk.box_grid_hit_attrs(
-                        tables.box_grid, o, d,
-                        kx=tables.box_grid_kx, kz=tables.box_grid_kz,
-                        x0=tables.box_grid_x0, z0=tables.box_grid_z0,
-                        w=tables.box_grid_w, y0=tables.box_grid_y0,
-                        uniform_mat=tables.box_grid_mat,
-                    )
-            else:
-                t_b, n_b, u_b, v_b, m_b = pk.box_hit_attrs_planar(
-                    tables.box_packed, o, d,
-                    n_boxes=tables.n_boxes, rotated=tables.has_rotated_boxes,
-                )
-            box_attrs = (n_b, u_b, v_b, m_b)
-        else:
-            t_b, idx_b = box_candidates_p(tables, o, d, t_min)
-        better = t_b < t_best
-        t_best = jnp.where(better, t_b, t_best)
-        winner = jnp.where(better, 2, winner)
-
     hit = winner >= 0
     # Hit point is o + t*d for every surface type: computed once.
     p = p_ray_at(o, d, t_best)
