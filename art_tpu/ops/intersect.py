@@ -153,6 +153,8 @@ _NO_SPH_POS_R = bool(os.environ.get("ART_TPU_NO_SPH_POS_R"))
 # row tail so it only triggers on final_scene/original_scene-class
 # clusters.  ART_TPU_NO_COMPACT_SPH=1 disables.
 _COMPACT_SPH = not bool(os.environ.get("ART_TPU_NO_COMPACT_SPH"))
+# Occlusion-gated needy predicate for the compact pass (r5): A/B switch.
+_NO_OCC_GATE = bool(os.environ.get("ART_TPU_NO_OCC_GATE"))
 _COMPACT_SPH_MIN_TAIL = 512
 # Needy-skip binned sphere kernel (pallas_kernels._sphere_skip_kernel):
 # block-level tail-cluster pruning via 1-D y-bins.  Measured LOSS r4
@@ -670,7 +672,7 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                     t_s, n_s, u_s, v_s, m_s = sphere_hit_attrs_split(
                         tables, o, d, time,
                         needs_uv=needs_uv, expand=expand, pos_r=pos_r,
-                        occ_t=occ_t,
+                        occ_t=None if _NO_OCC_GATE else occ_t,
                         use_skip=use_skip,
                         use_cellbin=(
                             _COMPACT_CELLBIN
