@@ -131,6 +131,16 @@ def sphere_hit_attrs_split(
     )
 
     needy, t_entry = tail_box_interval(tables.sph_tail_box, o, d, 1e-3)
+    if os.environ.get("ART_TPU_STATS_NEEDY"):  # debug: gate effectiveness
+        raw = needy
+        gated = needy & (t_entry <= occ_t) if occ_t is not None else needy
+
+        def _log(r, g, n):
+            print(f"[stats_needy] raw {int(r)} gated {int(g)} / {int(n)}",
+                  flush=True)
+
+        jax.debug.callback(_log, jnp.sum(raw.astype(jnp.int32)),
+                           jnp.sum(gated.astype(jnp.int32)), needy.shape[0])
     if occ_t is not None:
         # Occlusion gate (r5): a tail-sphere hit is >= the cluster entry,
         # so a ray already holding a closer quad/box hit cannot improve
