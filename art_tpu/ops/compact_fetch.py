@@ -132,9 +132,15 @@ def compact_gather(
         ch = jnp.moveaxis(ch, 1, 0).reshape(6, K)
         flat_k = _unbytes3(ch[0], ch[1], ch[2])
         ray_k = _unbytes3(ch[3], ch[4], ch[5])
-        texel_k = data[jnp.clip(flat_k, 0, data.shape[0] - 1)]
+        kvalid = jnp.arange(K, dtype=jnp.int32) < cnt
+        # masked gather: empty slots fetch nothing (the earth A/B showed
+        # the TPU gather lowers cheaper under a where mask — r5)
+        texel_k = jnp.where(
+            kvalid, data[jnp.clip(flat_k, 0, data.shape[0] - 1)],
+            jnp.zeros((), data.dtype),
+        )
         # route empty slots (k >= cnt) out of bounds so 'drop' ignores them
-        ray_k = jnp.where(jnp.arange(K, dtype=jnp.int32) < cnt, ray_k, R)
+        ray_k = jnp.where(kvalid, ray_k, R)
         return (
             jnp.zeros((R,), data.dtype).at[ray_k].set(texel_k, mode="drop")
         )
@@ -156,12 +162,12 @@ def compact_gather(
         ch = slots.reshape(K2 // 128, 3, 128)
         ch = jnp.moveaxis(ch, 1, 0).reshape(3, K2)
         flat_k = _unbytes3(ch[0], ch[1], ch[2])
-        texel_k = data[jnp.clip(flat_k, 0, data.shape[0] - 1)].astype(
-            jnp.int32
-        )
-        # zero empty slots: non-needy lanes may carry rank == cnt
+        # masked gather (empty slots fetch nothing) + zero so non-needy
+        # lanes carrying rank == cnt route to a zero row
         texel_k = jnp.where(
-            jnp.arange(K2, dtype=jnp.int32) < cnt, texel_k, 0
+            jnp.arange(K2, dtype=jnp.int32) < cnt,
+            data[jnp.clip(flat_k, 0, data.shape[0] - 1)].astype(jnp.int32),
+            0,
         )
         out = table_gather_u24(texel_k, rank, interpret=interpret)
         return jnp.where(needy, out, 0).astype(data.dtype)

@@ -192,7 +192,13 @@ def sphere_hit_attrs_split(
         )
         ray_k = compact_ray_ids(needy, K, interpret=interpret)
         packed_in = jnp.stack([*o, *d], axis=1)  # (R, 6)
-        rows_k = packed_in[jnp.clip(ray_k, 0, R - 1)]
+        slot = jnp.arange(K, dtype=jnp.int32)
+        # masked row gather: empty slots (>= cnt) fetch nothing (the
+        # earth A/B showed the TPU gather lowers cheaper under a where
+        # mask — r5); zero rays are inert in the tail kernel
+        rows_k = jnp.where(
+            (slot < cnt)[:, None], packed_in[jnp.clip(ray_k, 0, R - 1)], 0.0
+        )
         oK = (rows_k[:, 0], rows_k[:, 1], rows_k[:, 2])
         dK = (rows_k[:, 3], rows_k[:, 4], rows_k[:, 5])
         if use_skip and _COMPACT_SKIP:
@@ -218,7 +224,6 @@ def sphere_hit_attrs_split(
         # One (K, 4) -> (R, 4) row scatter; empty slots (>= cnt) route to
         # row R and drop.  Non-needy rows stay 0, remapped to BIG below
         # (a real candidate t is always > t_min > 0; a tail miss is BIG).
-        slot = jnp.arange(K, dtype=jnp.int32)
         vals = jnp.stack([t_c, *n_c], axis=1)
         out = jnp.zeros((R, 4), jnp.float32).at[
             jnp.where(slot < cnt, ray_k, R)
