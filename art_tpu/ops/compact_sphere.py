@@ -104,6 +104,8 @@ def sphere_hit_attrs_split(
     k: int = 0,  # compacted capacity (0 = SPH_K)
     occ_t: jnp.ndarray | None = None,  # (R,) closest OTHER-primitive hit:
     #        rays whose cluster entry lies beyond it are exact to skip
+    use_mxu_tail: bool = False,  # recentered tail MXU kernel as the
+    #        over-K dense fallback (r5 experiment)
     use_skip: bool = False,  # block-pruned skip kernel as the fallback
     use_cellbin: bool = False,  # 3-D tail-lattice kernel as the fallback
     interpret: bool = False,
@@ -152,6 +154,37 @@ def sphere_hit_attrs_split(
     cnt = jnp.sum(needy.astype(jnp.int32))
 
     def dense(_):
+        if use_mxu_tail and tables.mxu_tail_pad:
+            # Recentered tail MXU fallback (r5 experiment): head planar
+            # pass + the 1000-row tail as one bilinear-feature MXU kernel
+            # per ray block (pallas_kernels._sphere_mxu_kernel), with ray
+            # origins shifted into cluster-local coordinates (t and
+            # normals are translation-invariant).  NOT bit-equal to the
+            # planar tail (expanded-quadratic rounding, 2*t_min margin) —
+            # opt-in until parity + A/B receipts.
+            from art_tpu.ops.pallas_kernels import sphere_hit_attrs_mxu
+
+            t_h, n_h, _, _, m_h = sphere_hit_attrs_planar(
+                tables.sph_packed, o, d, tm,
+                n_moving=tables.sph_n_moving_pad,
+                n_static=tables.sph_n_static - n_tail,
+                n_tail=0, **common,
+            )
+            gx, gy, gz = tables.sph_tail_centroid
+            oG = (o[0] - gx, o[1] - gy, o[2] - gz)
+            t_c, n_c, _, _, _ = sphere_hit_attrs_mxu(
+                tables.sph_mxu_tail_feat, tables.sph_mxu_tail_attr,
+                oG, d, tm, s_pad=tables.mxu_tail_pad,
+                needs_uv=False, interpret=interpret,
+            )
+            better = t_c < t_h
+            return (
+                jnp.where(better, t_c, t_h),
+                jnp.where(better, n_c[0], n_h[0]),
+                jnp.where(better, n_c[1], n_h[1]),
+                jnp.where(better, n_c[2], n_h[2]),
+                jnp.where(better, jnp.int32(int(tables.sph_tail_mat)), m_h),
+            )
         if use_cellbin:
             # 3-D tail-lattice kernel (pack_tail2d_spheres layout): rear
             # cells prune via the occlusion bound for the 25-55%-needy

@@ -155,6 +155,9 @@ _NO_SPH_POS_R = bool(os.environ.get("ART_TPU_NO_SPH_POS_R"))
 _COMPACT_SPH = not bool(os.environ.get("ART_TPU_NO_COMPACT_SPH"))
 # Occlusion-gated needy predicate for the compact pass (r5): A/B switch.
 _NO_OCC_GATE = bool(os.environ.get("ART_TPU_NO_OCC_GATE"))
+# Recentered tail MXU kernel as the compact pass's over-K dense fallback
+# (r5 experiment; see scene/builder.py tail-feature packing).
+_MXU_TAIL = bool(os.environ.get("ART_TPU_MXU_TAIL"))
 _COMPACT_SPH_MIN_TAIL = 512
 # Needy-skip binned sphere kernel (pallas_kernels._sphere_skip_kernel):
 # block-level tail-cluster pruning via 1-D y-bins.  Measured LOSS r4
@@ -673,6 +676,7 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                         tables, o, d, time,
                         needs_uv=needs_uv, expand=expand, pos_r=pos_r,
                         occ_t=None if _NO_OCC_GATE else occ_t,
+                        use_mxu_tail=_MXU_TAIL,
                         use_skip=use_skip,
                         use_cellbin=(
                             _COMPACT_CELLBIN

@@ -732,11 +732,33 @@ class _Compiler:
             sph_cellbin_packed, sph_cellbin_meta = pack_cellbin_spheres(
                 sph_packed, sph_n_moving_pad, sph_n_static
             )
+        # Recentered tail MXU tables (ART_TPU_MXU_TAIL experiment):
+        # subtracting the tail centroid bounds the bilinear features by
+        # the cluster SPAN, not its absolute position, keeping the
+        # expanded-quadratic selection error ~|c|^2*2^-23 below t_min.
+        sph_mxu_tail_feat = jnp.zeros((2, 16), jnp.float32)
+        sph_mxu_tail_attr = jnp.zeros((8, 1), jnp.float32)
+        mxu_tail_pad = 0
+        sph_tail_centroid = ()
+        if sph_n_tail >= SKIP_MIN_TAIL and sph_tail_box:
+            from art_tpu.ops.pallas_kernels import sphere_mxu_features
+
+            tp = np.asarray(sph_tail_packed).copy()
+            G = tp[:sph_n_tail, 0:3].mean(axis=0)
+            tp[:sph_n_tail, 0:3] -= G
+            F_t, attrT_t, pad_t = sphere_mxu_features(tp, sph_n_tail)
+            sph_mxu_tail_feat, sph_mxu_tail_attr = F_t, attrT_t
+            mxu_tail_pad = pad_t
+            sph_tail_centroid = tuple(float(v) for v in G)
         tables = dataclasses.replace(
             tables,
             sph_packed=sph_packed,
             sph_tail_packed=sph_tail_packed,
             sph_tail_box=sph_tail_box,
+            sph_mxu_tail_feat=sph_mxu_tail_feat,
+            sph_mxu_tail_attr=sph_mxu_tail_attr,
+            mxu_tail_pad=mxu_tail_pad,
+            sph_tail_centroid=sph_tail_centroid,
             sph_skip_packed=sph_skip_packed,
             sph_skip_bins=sph_skip_bins,
             sph_cellbin_packed=sph_cellbin_packed,

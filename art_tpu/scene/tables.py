@@ -165,6 +165,13 @@ class SceneTables:
     # MXU-formulation sphere tables (ops/pallas_kernels.sphere_mxu_features)
     sph_mxu_feat: jnp.ndarray  # (2*S_pad, 16) bilinear quadratic features
     sph_mxu_attr: jnp.ndarray  # (8, S_pad) transposed packed table
+    # Tail-only MXU tables, RECENTERED on the tail centroid so the
+    # bilinear form's |c|^2-scale cancellation stays below t_min even in
+    # scenes whose absolute coordinates fail the whole-table gate
+    # (final/original's cluster sits ~500 from the origin but spans
+    # ~165).  Experiment path ART_TPU_MXU_TAIL (ops/compact_sphere.py).
+    sph_mxu_tail_feat: jnp.ndarray  # (2*T_pad, 16)
+    sph_mxu_tail_attr: jnp.ndarray  # (8, T_pad)
     # Grid-box height/material table (Kx, Kz, 2) [y1, mat] — detect_box_grid
     box_grid: jnp.ndarray
     # Flattened escape-link sphere BVH (ops/bvh.pack_bvh rows
@@ -194,6 +201,9 @@ class SceneTables:
     # (scene coordinate scale too large for the expanded quadratic — see
     # sphere_mxu_features precision note).
     mxu_sphere_pad: int = _static()
+    # Padded tail count of the recentered tail MXU path; 0 disables.
+    mxu_tail_pad: int = _static()
+    sph_tail_centroid: tuple = _static()
     # Moving/static segmentation of sph_packed (pack_spheres): padded
     # moving-block size and real static count for the split kernel loops.
     sph_n_moving_pad: int = _static()
@@ -331,6 +341,8 @@ def empty_tables() -> dict:
         quad_attr_packed=_z((1, 16)),
         sph_mxu_feat=_z((2, 16)),
         sph_mxu_attr=_z((8, 1)),
+        sph_mxu_tail_feat=_z((2, 16)),
+        sph_mxu_tail_attr=_z((8, 1)),
         box_grid=_z((1, 1, 2)),
         sph_bvh=_z((1, 8)),
         n_spheres=0,
@@ -348,6 +360,8 @@ def empty_tables() -> dict:
         has_rotated_boxes=False,
         tex_types_present=(),
         mxu_sphere_pad=0,
+        mxu_tail_pad=0,
+        sph_tail_centroid=(),
         sph_n_moving_pad=0,
         sph_n_static=0,
         sph_n_tail=0,

@@ -199,3 +199,47 @@ def test_tail_box_contains_all_tail_spheres(final):
     tp = np.asarray(final.sph_tail_packed)
     np.testing.assert_array_equal(tp[: len(rows)], rows)
     assert (tp[len(rows) :, 8] == -1.0).all()  # inert padding
+
+
+def test_mxu_tail_fallback_close_to_planar():
+    """Recentered tail MXU fallback (ART_TPU_MXU_TAIL): same hit set as
+    the planar dense pass, t within expanded-quadratic tolerance, mats
+    equal.  Winner swaps are allowed only between overlapping tail
+    spheres (the cluster has ~3.4k overlapping pairs), which shows up as
+    rare normal mismatches — bounded here."""
+    import numpy as np
+
+    from art_tpu.models import build_scene
+    import art_tpu.ops.compact_sphere as cs
+
+    t = build_scene("final_scene", 64, 64).tables
+    assert t.mxu_tail_pad > 0 and t.sph_tail_centroid
+    R = 8192
+    rng = np.random.default_rng(1)
+    ctr = np.array(t.sph_tail_centroid)
+    o = ctr + rng.normal(0, 400, (R, 3))
+    tgt = ctr + rng.normal(0, 120, (R, 3))
+    d = tgt - o
+    o = jnp.asarray(o.T.astype(np.float32))
+    d = jnp.asarray(d.T.astype(np.float32))
+    tm = jnp.zeros((R,), jnp.float32)
+    kw = dict(needs_uv=False, expand=t.sph_expand, pos_r=t.sph_pos_r,
+              interpret=True)
+    saved = cs._FORCE_BRANCH
+    cs._FORCE_BRANCH = "dense"
+    try:
+        a = cs.sphere_hit_attrs_split(t, tuple(o), tuple(d), tm, **kw)
+        b = cs.sphere_hit_attrs_split(
+            t, tuple(o), tuple(d), tm, use_mxu_tail=True, **kw
+        )
+    finally:
+        cs._FORCE_BRANCH = saved
+    ta, tb = np.asarray(a[0]), np.asarray(b[0])
+    assert ((ta < 1e9) == (tb < 1e9)).all()
+    m = ta < 1e9
+    rel = np.abs(ta[m] - tb[m]) / np.maximum(ta[m], 1e-6)
+    assert np.percentile(rel, 99) < 1e-3
+    na = np.stack([np.asarray(x) for x in a[1]], 1)[m]
+    nb = np.stack([np.asarray(x) for x in b[1]], 1)[m]
+    assert (np.abs(na - nb).max(1) > 1e-2).mean() < 0.005
+    assert (np.asarray(a[4])[m] == np.asarray(b[4])[m]).all()

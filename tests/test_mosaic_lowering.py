@@ -562,3 +562,17 @@ def test_wide_compact_gather_lowers():
         lambda d, f, n: compact_gather(d, f, n, max_value_bits=24),
         data, flat, needy,
     )
+
+
+def test_sphere_mxu_tail_lowers(final):
+    """Recentered tail MXU tables at s_pad=1024 (ART_TPU_MXU_TAIL)."""
+    assert final.mxu_tail_pad == 1024
+    o, d, tm = _rays(R=2 * RB)
+
+    def f(o, d, tm):
+        return pk.sphere_hit_attrs_mxu(
+            final.sph_mxu_tail_feat, final.sph_mxu_tail_attr, o, d, tm,
+            s_pad=final.mxu_tail_pad, needs_uv=False,
+        )
+
+    _lower_tpu(f, o, d, tm)
