@@ -153,8 +153,11 @@ _NO_SPH_POS_R = bool(os.environ.get("ART_TPU_NO_SPH_POS_R"))
 # row tail so it only triggers on final_scene/original_scene-class
 # clusters.  ART_TPU_NO_COMPACT_SPH=1 disables.
 _COMPACT_SPH = not bool(os.environ.get("ART_TPU_NO_COMPACT_SPH"))
-# Occlusion-gated needy predicate for the compact pass (r5): A/B switch.
-_NO_OCC_GATE = bool(os.environ.get("ART_TPU_NO_OCC_GATE"))
+# Occlusion-gated needy predicate for the compact pass: measured a 0.6%
+# SEPARATED loss on final_scene (queue_r5d.log — the gate rarely flips a
+# cluster-facing dispatch under SPH_K, and its predicate/select cost is
+# real), so it is OPT-IN; bit-exact either way (on-chip receipt).
+_OCC_GATE = bool(os.environ.get("ART_TPU_OCC_GATE"))
 # Recentered tail MXU kernel as the compact pass's over-K dense fallback
 # (r5 experiment; see scene/builder.py tail-feature packing).
 _MXU_TAIL = bool(os.environ.get("ART_TPU_MXU_TAIL"))
@@ -675,7 +678,7 @@ def closest_surface_p(tables: SceneTables, o, d, time, t_min) -> HitRecordP:
                     t_s, n_s, u_s, v_s, m_s = sphere_hit_attrs_split(
                         tables, o, d, time,
                         needs_uv=needs_uv, expand=expand, pos_r=pos_r,
-                        occ_t=None if _NO_OCC_GATE else occ_t,
+                        occ_t=occ_t if _OCC_GATE else None,
                         use_mxu_tail=_MXU_TAIL,
                         use_skip=use_skip,
                         use_cellbin=(
